@@ -1,0 +1,31 @@
+"""Global configuration for dgp_tpu.
+
+The library computes Gaussian-process kernel matrices whose conditioning is
+set by the nugget (default 1e-6 as in the reference, dgpsi/kernel_class.py:86).
+Factorising such matrices reliably requires float64, so x64 is enabled at
+import.  Individual compute paths (notably the Vecchia path, whose blocks are
+tiny and re-jittered) can be run in float32 for TPU speed via
+``set_default_dtype('float32')``.
+"""
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+_DEFAULT_DTYPE = jnp.float64
+
+
+def set_default_dtype(dtype):
+    """Set the working dtype for model state ('float32' or 'float64')."""
+    global _DEFAULT_DTYPE
+    _DEFAULT_DTYPE = jnp.dtype(dtype).type
+
+
+def default_dtype():
+    return _DEFAULT_DTYPE
+
+
+# Numerical knobs --------------------------------------------------------
+#: multiples of mean(diag) tried (in order) when a Cholesky factorisation
+#: produces non-finite values.
+CHOLESKY_JITTERS = (0.0, 1e-12, 1e-10, 1e-8, 1e-6, 1e-4)

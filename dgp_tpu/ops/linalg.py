@@ -1,0 +1,78 @@
+"""Thin batched linear-algebra wrappers with a jitter-retry policy.
+
+Replaces the reference's LAPACK calls plus its `pinvh` fallback
+(`dgpsi/kernel_class.py:745-751`): inside jit we cannot branch to a
+pseudo-inverse, so instead the Cholesky is retried with growing diagonal
+jitter until it is finite (`config.CHOLESKY_JITTERS`).
+"""
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from .. import config
+
+
+def cholesky(A):
+    """Plain lower Cholesky (batched)."""
+    return jnp.linalg.cholesky(A)
+
+
+def safe_cholesky(A):
+    """Lower Cholesky with adaptive diagonal jitter.
+
+    Tries jitters from ``config.CHOLESKY_JITTERS`` (scaled by mean(diag))
+    until the factor is finite.  Works on batched inputs (..., n, n); the
+    jitter escalation is per-call, not per-batch-element.
+    """
+    jitters = jnp.asarray(config.CHOLESKY_JITTERS, dtype=A.dtype)
+    n = A.shape[-1]
+    scale = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)[..., None, None]
+    eye = jnp.eye(n, dtype=A.dtype)
+
+    def attempt(i):
+        return jnp.linalg.cholesky(A + jitters[i] * scale * eye)
+
+    def cond(carry):
+        i, L = carry
+        return jnp.logical_and(~jnp.all(jnp.isfinite(L)), i < len(config.CHOLESKY_JITTERS) - 1)
+
+    def body(carry):
+        i, _ = carry
+        return i + 1, attempt(i + 1)
+
+    _, L = jax.lax.while_loop(cond, body, (0, attempt(0)))
+    return L
+
+
+def cho_solve(L, B):
+    """Solve A x = B given lower Cholesky factor L (batched)."""
+    y = solve_triangular(L, B, lower=True)
+    return solve_triangular(L, y, lower=True, trans=1)
+
+
+def logdet_from_chol(L):
+    """log|A| from its lower Cholesky factor (batched -> (...,))."""
+    return 2.0 * jnp.sum(jnp.log(jnp.abs(jnp.diagonal(L, axis1=-2, axis2=-1))), axis=-1)
+
+
+def tri_solve(L, B, lower=True, trans=0):
+    return solve_triangular(L, B, lower=lower, trans=trans)
+
+
+def quad_form(A, b):
+    """b^T A b for (..., n, n) A and (..., n) b."""
+    return jnp.einsum("...i,...ij,...j->...", b, A, b)
+
+
+def trace_prod(A, B):
+    """tr(A @ B) without forming the product."""
+    return jnp.sum(A * jnp.swapaxes(B, -1, -2), axis=(-2, -1))
+
+
+def mvn_sample(key, L, mean=None):
+    """Sample from N(mean, L L^T) given a lower Cholesky factor (batched)."""
+    sn = jax.random.normal(key, L.shape[:-1], dtype=L.dtype)
+    samp = jnp.einsum("...ij,...j->...i", L, sn)
+    if mean is not None:
+        samp = samp + mean
+    return samp
