@@ -23,14 +23,21 @@ def safe_cholesky(A):
     Tries jitters from ``config.CHOLESKY_JITTERS`` (scaled by mean(diag))
     until the factor is finite.  Works on batched inputs (..., n, n); the
     jitter escalation is per-call, not per-batch-element.
+
+    Reverse-mode differentiable: the jitter level is selected on a
+    stop-gradient copy (the selection loop carries no cotangents), then a
+    single differentiable Cholesky runs at the selected jitter.
     """
-    jitters = jnp.asarray(config.CHOLESKY_JITTERS, dtype=A.dtype)
     n = A.shape[-1]
     scale = jnp.mean(jnp.diagonal(A, axis1=-2, axis2=-1), axis=-1)[..., None, None]
     eye = jnp.eye(n, dtype=A.dtype)
 
+    A0 = jax.lax.stop_gradient(A)
+    scale0 = jax.lax.stop_gradient(scale)
+    jitters = jnp.asarray(config.CHOLESKY_JITTERS, dtype=A.dtype)
+
     def attempt(i):
-        return jnp.linalg.cholesky(A + jitters[i] * scale * eye)
+        return jnp.linalg.cholesky(A0 + jitters[i] * scale0 * eye)
 
     def cond(carry):
         i, L = carry
@@ -40,8 +47,8 @@ def safe_cholesky(A):
         i, _ = carry
         return i + 1, attempt(i + 1)
 
-    _, L = jax.lax.while_loop(cond, body, (0, attempt(0)))
-    return L
+    i_sel, _ = jax.lax.while_loop(cond, body, (0, attempt(0)))
+    return jnp.linalg.cholesky(A + jitters[i_sel] * scale * eye)
 
 
 def cho_solve(L, B):
