@@ -1,0 +1,729 @@
+"""Deep-GP model trained by stochastic imputation (SEM).
+
+API mirror of reference `dgpsi/dgp.py` (constructor, initialize semantics
+including the likelihood-specific latent initialisers, train / ptrain /
+estimate / plot / aggregate_r2 / update_xy).  Training runs through the
+compiled SEM engine: chunks of iterations execute as a single device program
+(`CompiledDGP.train_chunk`), with host-side restart-on-divergence mirroring
+the reference's LinAlgError restarts (dgp.py:1375-1412).
+"""
+import copy
+from contextlib import contextmanager
+
+import numpy as np
+from tqdm import trange
+
+from .. import config, rng
+from .node import kernel as ker
+from .node import combine
+from .gp import gp
+from .imputation import imputer
+from .compiled import CompiledDGP
+
+
+def _kernel_pca(In, n_components, large):
+    """Latent init when a layer narrows: sigmoid-kernel PCA
+    (dgp.py:565-576), Nystrom variant for large n."""
+    if large:
+        from ..utils import NystromKPCA
+        return NystromKPCA(n_components=n_components).fit_transform(In)
+    from sklearn.decomposition import KernelPCA
+    return KernelPCA(n_components=n_components, kernel='sigmoid').fit_transform(In)
+
+
+class dgp:
+    """DGP hierarchy for stochastic-imputation inference (dgp.py:26)."""
+
+    def __init__(self, X, Y, all_layer=None, check_rep=True, block=True,
+                 vecchia=False, m=25, ord_fun=None):
+        dt = np.dtype(config.default_dtype())
+        self.Y = Y
+        if isinstance(self.Y, list):
+            if len(self.Y) == 1:
+                self.Y = self.Y[0]
+            else:
+                raise Exception('Y has to be a numpy 2d-array; use lgp for linked emulation.')
+        if self.Y.ndim == 1 or X.ndim == 1:
+            raise Exception('The input and output data have to be numpy 2d-arrays.')
+        X = np.asarray(X, dt)
+        if not np.issubdtype(np.asarray(self.Y).dtype, np.integer):
+            self.Y = np.asarray(self.Y, dt)
+        self.check_rep = check_rep
+        self.indices = None
+        self.counts = None
+        if self.check_rep:
+            X0, indices, counts = np.unique(X, return_inverse=True, return_counts=True, axis=0)
+            if len(X0) != len(X):
+                self.X = X0
+                self.indices = indices.flatten()
+                self.counts = counts
+            else:
+                self.X = X
+        else:
+            self.X = X
+        self.vecch = vecchia
+        self.n_data = self.X.shape[0]
+        self.nn_method = 'exact'
+        self.m = min(m, self.n_data - 1)
+        self.ord_fun = ord_fun
+        if all_layer is None:
+            D, Y_D = self.X.shape[1], self.Y.shape[1]
+            layer1 = [ker(length=np.array([1.])) for _ in range(D)]
+            layer2 = [ker(length=np.array([1.]), scale_est=True, connect=np.arange(D))
+                      for _ in range(Y_D)]
+            all_layer = combine(layer1, layer2)
+        self.all_layer = all_layer
+        self.n_layer = len(all_layer)
+        final = self.all_layer[-1][0]
+        if getattr(final, 'name', None) == 'Categorical':
+            from sklearn.preprocessing import LabelEncoder
+            final.class_encoder = LabelEncoder()
+            self.Y = final.class_encoder.fit_transform(np.asarray(self.Y).flatten()).reshape(-1, 1)
+            if final.num_classes is None:
+                final.num_classes = len(final.class_encoder.classes_)
+            if final.link is None:
+                final.link = 'logit' if final.num_classes == 2 else 'softmax'
+        self.initialize()
+        self.block = block
+        self.imp = imputer(self.all_layer, self.block)
+        with self.change_init_scale():
+            self.imp.sample(burnin=10)
+            self.compute_r2()
+        self.N = 0
+        self.burnin = None
+
+    # ------------------------------------------------------------------
+    # latent initialisation
+    # ------------------------------------------------------------------
+    def _init_layer_output(self, l, In):
+        """Compute the initial latent output of layer l (reference
+        dgp.initialize, dgp.py:154-576), including likelihood-specific
+        initialisers."""
+        layer = self.all_layer[l]
+        num_kernel = len(layer)
+        nxt = self.all_layer[l + 1] if l < self.n_layer - 1 else None
+        lik_name = getattr(nxt[0], 'name', None) if (nxt is not None and len(nxt) == 1) else None
+        feeds_single_lik = (l == self.n_layer - 2 and nxt is not None and len(nxt) == 1
+                            and getattr(nxt[0], 'type', '') == 'likelihood')
+
+        if feeds_single_lik and lik_name == 'Hetero' and num_kernel == 2:
+            return self._init_hetero(In, nxt[0])
+        if feeds_single_lik and lik_name == 'Categorical':
+            return self._init_categorical(nxt[0], num_kernel)
+        if feeds_single_lik and lik_name == 'Poisson':
+            return self._init_poisson()
+        if feeds_single_lik and lik_name == 'ZIP':
+            return self._init_zip(num_kernel)
+        if feeds_single_lik and lik_name == 'ZINB':
+            return self._init_zinb(num_kernel)
+        if feeds_single_lik and lik_name == 'NegBin':
+            return self._init_negbin(num_kernel)
+        # plain forwarding / dimension adaptation
+        if In.shape[1] == num_kernel:
+            return In.copy()
+        elif In.shape[1] > num_kernel:
+            return _kernel_pca(In, num_kernel, self.vecch or self.n_data >= 500)
+        extra = In[:, np.random.choice(In.shape[1], num_kernel - In.shape[1])]
+        return np.concatenate((In, extra), axis=1)
+
+    def _init_hetero(self, In, lik):
+        """Pilot-GP latent init for the heteroskedastic likelihood
+        (dgp.py:163-278)."""
+        from scipy.special import digamma as psi
+        G, D = self.X.shape
+        y = np.asarray(self.Y, float).flatten()
+        Out = np.empty((In.shape[0], 2))
+        if self.indices is None:
+            Out[:, 0] = y
+            m_mu = gp(self.X, y.reshape(-1, 1),
+                      ker(length=np.ones(D), name=self.all_layer[-2][0].name,
+                          scale_est=True, nugget_est=True, prior_name='ref', nugget=1e-2),
+                      vecchia=self.vecch, m=self.m, ord_fun=self.ord_fun)
+            m_mu.train()
+            mean_mu, _ = m_mu.loo()
+            resid2 = np.maximum((y - mean_mu.flatten()) ** 2, 1e-12)
+            z = np.log(resid2 + 1e-12)
+            m_lv = gp(self.X, z.reshape(-1, 1),
+                      ker(length=np.ones(D), name=self.all_layer[-2][1].name,
+                          scale_est=True, nugget_est=True, prior_name='ref', nugget=1e-2),
+                      vecchia=self.vecch, m=self.m, ord_fun=self.ord_fun)
+            m_lv.train()
+            mean_lv, var_lv = m_lv.loo()
+            mean_lv = mean_lv.flatten()
+            var_lv = np.maximum((var_lv - m_lv.kernel.nugget * m_lv.kernel.scale).flatten(), 1e-12)
+            sd = np.sqrt(var_lv)
+            z_init = np.clip(np.random.normal(mean_lv, sd), mean_lv - 2.576 * sd,
+                             mean_lv + 2.576 * sd)
+            Out[:, 1] = z_init
+        else:
+            counts = np.bincount(self.indices, minlength=G).astype(float)
+            sumY = np.bincount(self.indices, weights=y, minlength=G)
+            sumY2 = np.bincount(self.indices, weights=y * y, minlength=G)
+            ybar = sumY / counts
+            Out[:, 0] = ybar
+            valid = counts > 1.0
+            num = sumY2 - sumY**2 / np.maximum(counts, 1.0)
+            s2 = np.full(G, np.nan)
+            s2[valid] = np.maximum(num[valid] / (counts[valid] - 1.0), 0.0)
+            v0 = np.nanmedian(s2[valid])
+            s2_fill = np.where(valid, s2, v0)
+            nu = (counts - 1.0) / 2.0
+            bias = np.where(valid, psi(np.maximum(nu, 1e-12)) - np.log(np.maximum(nu, 1e-12)), 0.0)
+            z = np.log(s2_fill + 1e-12) - bias
+            z_init = z.copy()
+            m_lv = gp(self.X, z.reshape(-1, 1),
+                      ker(length=np.ones(D) * 2., name=self.all_layer[-2][1].name,
+                          scale_est=True, nugget_est=True, prior_name='ref', nugget=1e-1),
+                      vecchia=self.vecch, m=self.m, ord_fun=self.ord_fun)
+            m_lv.train()
+            mean_lv, var_lv = m_lv.loo()
+            sing = ~valid
+            if np.any(sing):
+                mls = mean_lv[sing].flatten()
+                vls = np.maximum((var_lv[sing] - m_lv.kernel.nugget * m_lv.kernel.scale).flatten(), 1e-12)
+                sdl = np.sqrt(vls)
+                z_init[sing] = np.clip(np.random.normal(mls, sdl), mls - 2 * sdl, mls + 2 * sdl)
+            Out[:, 1] = z_init
+        if lik.input_dim is not None:
+            Out = Out[:, lik.input_dim]
+        return Out
+
+    def _init_categorical(self, lik, num_kernel):
+        """Margin-style latent init for classification (dgp.py:279-326)."""
+        K = lik.num_classes
+        if K == 2 and num_kernel != 1:
+            raise Exception('You need one GP node to feed the categorical likelihood node.')
+        if K > 2 and num_kernel != K:
+            raise Exception(f'You need {K} GP nodes to feed the Categorical likelihood node.')
+        c = 2 * np.sqrt(40.0)
+        yv = np.asarray(self.Y).ravel().astype(int)
+        if self.indices is None:
+            if K == 2:
+                return np.where(np.asarray(self.Y) == 1, c, -c).astype(float)
+            Out = -c * np.ones((self.n_data, K))
+            Out[np.arange(self.n_data), yv] = c
+            return Out
+        m = int(self.indices.max()) + 1
+        if K == 2:
+            n_g = np.bincount(self.indices, minlength=m)
+            k_g = np.bincount(self.indices, weights=yv.astype(float), minlength=m)
+            alpha = 0.5
+            p = (k_g + alpha) / (n_g + 2 * alpha)
+            eps = np.finfo(float).eps
+            return np.log(np.clip(p, eps, 1 - eps) / np.clip(1 - p, eps, 1)).reshape(-1, 1)
+        counts = np.zeros((m, K))
+        np.add.at(counts, (self.indices, yv), 1.0)
+        n_g = counts.sum(axis=1, keepdims=True)
+        temperature, alpha = 0.8, 0.5
+        probs = (counts + alpha) / (n_g + K * alpha)
+        logp = np.log(probs.clip(np.finfo(float).eps, 1.0))
+        logp -= logp.mean(axis=1, keepdims=True)
+        return logp / temperature
+
+    def _init_poisson(self):
+        y = np.asarray(self.Y, float)
+        if self.indices is None:
+            return np.log(y + .5 + 1e-12)
+        G = self.X.shape[0]
+        sum_y = np.bincount(self.indices, weights=y.flatten(), minlength=G)
+        n_rep = np.bincount(self.indices, minlength=G)
+        return np.log((sum_y + .5) / n_rep + 1e-12).reshape(-1, 1)
+
+    def _zero_inflation_split(self, y, counts_based):
+        """Moment-match (lambda, pi) for zero-inflated counts (dgp.py:337-410)."""
+        lam_floor, pi_min, pi_max = 1e-6, 1e-4, 0.99
+        if not counts_based:
+            N = len(y)
+            lam_i = np.maximum(y + 0.5, lam_floor)
+            f_lambda = np.log(lam_i + 1e-12)
+            n0 = (y == 0).sum()
+            p0 = (n0 + 0.5) / (N + 1.0)
+            mu = y.mean()
+            if mu <= 0:
+                pi0 = p0
+            else:
+                lam0 = max(mu, lam_floor)
+                q0 = np.exp(-lam0)
+                if q0 >= 1 - 1e-8:
+                    pi0 = 0.0
+                else:
+                    pi0 = np.clip((p0 - q0) / (1 - q0), 0.0, pi_max)
+            pi0 = np.clip(pi0, pi_min, 1 - pi_min)
+            f_pi = np.full_like(f_lambda, np.log(pi0 / (1 - pi0)))
+            return f_lambda, f_pi
+        G = self.X.shape[0]
+        idx = self.indices
+        sum_y = np.bincount(idx, weights=y, minlength=G)
+        n_g = np.bincount(idx, minlength=G)
+        n0_g = np.bincount(idx, weights=(y == 0).astype(float), minlength=G)
+        mu_g = sum_y / np.maximum(n_g, 1)
+        p0_g = (n0_g + 0.1) / (n_g + 0.2)
+        pos = y > 0
+        global_mu_pos = y[pos].mean() if np.any(pos) else 1.0
+        lam0_g = mu_g.copy()
+        lam0_g[mu_g == 0.0] = global_mu_pos
+        lam0_g = np.maximum(lam0_g, lam_floor)
+        q_g = np.exp(-lam0_g)
+        raw = (p0_g - q_g) / np.maximum(1 - q_g, 1e-8)
+        raw = np.where(p0_g <= q_g, 0.0, raw)
+        pi_g = np.clip(raw, 0.0, pi_max)
+        lam_g = mu_g / np.maximum(1 - pi_g, 1e-3)
+        lam_g = np.where(mu_g == 0.0, lam0_g, lam_g)
+        lam_g = np.maximum(lam_g, lam_floor)
+        pi_g = np.clip(pi_g, pi_min, 1 - pi_min)
+        return np.log(lam_g + 1e-12), np.log(pi_g / (1 - pi_g))
+
+    def _overdispersion(self, y):
+        """Method-of-moments per-site overdispersion (dgp.py:526-564)."""
+        eps = 1e-8
+        y_mean, y_var = y.mean(), (y.var(ddof=1) if y.size > 1 else 0.0)
+        sig_global = np.clip((y_var - y_mean) / (y_mean**2 + eps), 1e-3, 10.0)
+        if self.indices is None:
+            return None, sig_global
+        G = self.X.shape[0]
+        n = np.bincount(self.indices, minlength=G).astype(float)
+        s1 = np.bincount(self.indices, weights=y, minlength=G)
+        s2 = np.bincount(self.indices, weights=y * y, minlength=G)
+        mu = (s1 + .5) / np.maximum(n, 1.0)
+        var_hat = mu.copy()
+        mask = n > 1
+        var_hat[mask] = (s2[mask] - s1[mask]**2 / n[mask]) / (n[mask] - 1.0)
+        sigma = (var_hat - mu) / (mu**2 + eps)
+        bad = (~np.isfinite(sigma)) | (sigma <= 0.0)
+        sigma[bad] = sig_global
+        return mu, np.clip(sigma, 1e-3, 10.0)
+
+    def _init_zip(self, num_kernel):
+        y = np.asarray(self.Y, float).flatten()
+        f_lam, f_pi = self._zero_inflation_split(y, self.indices is not None)
+        return np.column_stack([f_lam, f_pi])
+
+    def _init_zinb(self, num_kernel):
+        y = np.asarray(self.Y, float).flatten()
+        f_lam, f_pi = self._zero_inflation_split(y, self.indices is not None)
+        mu_sites, sigma = self._overdispersion(y)
+        if self.indices is None:
+            f_sig = np.full_like(f_lam, np.log(sigma))
+        else:
+            f_sig = np.log(sigma)
+            f_lam = np.log(np.maximum(mu_sites, 1e-6) + 1e-12)
+        return np.column_stack([f_lam, f_sig, f_pi])
+
+    def _init_negbin(self, num_kernel):
+        y = np.asarray(self.Y, float).flatten()
+        mu_sites, sigma = self._overdispersion(y)
+        if self.indices is None:
+            f_mu = np.log(y + .5 + 1e-12)
+            f_sig = np.full_like(f_mu, np.log(sigma))
+        else:
+            f_mu = np.log(mu_sites + 1e-12)
+            f_sig = np.log(sigma)
+        return np.column_stack([f_mu, f_sig])
+
+    def initialize(self):
+        """Wire inputs/outputs through the hierarchy (dgp.py:154)."""
+        dt = np.dtype(config.default_dtype())
+        global_in = self.X
+        In = self.X
+        for l in range(self.n_layer):
+            layer = self.all_layer[l]
+            num_kernel = len(layer)
+            Out = self._init_layer_output(l, In) if l != self.n_layer - 1 else None
+            for k in range(num_kernel):
+                node = layer[k]
+                if l == self.n_layer - 1 and self.indices is not None:
+                    node.rep = self.indices
+                # inputs + wiring
+                if node.input_dim is None:
+                    node.input_dim = np.arange(In.shape[1])
+                if l == self.n_layer - 1 and node.type == 'likelihood':
+                    need = {'Poisson': 1, 'Hetero': 2, 'NegBin': 2, 'ZIP': 2, 'ZINB': 3}
+                    if node.name in need and len(node.input_dim) != need[node.name]:
+                        raise Exception(f'You need {need[node.name]} GP node(s) to feed '
+                                        f'the {node.name} likelihood node.')
+                if l == self.n_layer - 1 and node.type == 'likelihood' and node.rep is not None:
+                    node.input = In[node.rep, :][:, node.input_dim]
+                else:
+                    node.input = In[:, node.input_dim].copy()
+                if node.type == 'gp':
+                    if node.connect is not None:
+                        if l == 0 and len(np.intersect1d(node.connect, node.input_dim)) != 0:
+                            raise Exception('The local and global input should not overlap.')
+                        node.global_input = global_in[:, node.connect]
+                    node.vecch, node.m, node.nn_method = self.vecch, self.m, self.nn_method
+                    if self.ord_fun is not None:
+                        node.ord_fun = self.ord_fun
+                    node.D = node.input.shape[1]
+                    if node.connect is not None:
+                        node.D += len(node.connect)
+                # outputs
+                if l == self.n_layer - 1:
+                    Ycol = np.asarray(self.Y[:, [k]], dt)
+                    if node.type == 'likelihood':
+                        node.output = np.asarray(self.Y[:, [k]])
+                    elif node.rep is None:
+                        node.output = Ycol
+                    else:
+                        NN = node.rep.max() + 1
+                        sum_y = np.bincount(node.rep, weights=Ycol.flatten(), minlength=NN)
+                        node.W_diag = 1.0 / np.bincount(node.rep, minlength=NN)
+                        node.output = (sum_y * node.W_diag).reshape(-1, 1)
+                        residual = Ycol - node.output[node.rep, :]
+                        node.sum_residual = (residual.T @ residual).flatten()
+                else:
+                    node.output = np.asarray(Out[:, [k]], dt)
+                if node.type == 'gp':
+                    if node.prior_name == 'ref' and len(node.prior_coef) == 1:
+                        p = node.input.shape[1]
+                        if node.global_input is not None:
+                            p += node.global_input.shape[1]
+                        b = 1 / len(node.output) ** (1 / p) * (node.prior_coef + p)
+                        node.prior_coef = np.concatenate((node.prior_coef, b))
+                        node.compute_cl()
+                    node.para_path = np.atleast_2d(
+                        np.concatenate((node.scale, node.length, node.nugget)))
+                    if node.vecch:
+                        node.ord_nn()
+            if l != self.n_layer - 1:
+                In = Out.copy()
+
+    # ------------------------------------------------------------------
+    # training
+    # ------------------------------------------------------------------
+    @contextmanager
+    def change_init_scale(self):
+        """Temporarily inflate last-hidden-layer scales for categorical
+        initial imputation (dgp.py:1574)."""
+        old = []
+        is_cat = getattr(self.all_layer[-1][0], 'name', None) == 'Categorical'
+        if is_cat:
+            for node in self.all_layer[-2]:
+                old.append(node.scale)
+                if node.scale_est:
+                    node.scale = np.array([40.0])
+        yield
+        if is_cat:
+            for o, node in zip(old, self.all_layer[-2]):
+                node.scale = o
+
+    def train(self, N=500, ess_burn=10, disable=False, chunk_size=25):
+        """SEM training: chunks of iterations run as single device programs;
+        restarts on numerical divergence mirror dgp.py:1402-1412."""
+        N0 = self.N
+        restarts, max_restarts = 0, 3
+        while True:
+            engine = CompiledDGP(self.all_layer, self.block)
+            state = engine.get_state()
+            snapshots = [[] for _ in range(2)]  # para, r2 chunks
+            done = 0
+            ok = True
+            pgb = trange(N, disable=disable)
+            first_chunk = True
+            try:
+                while done < N:
+                    this = min(chunk_size, N - done)
+                    if first_chunk and getattr(self.all_layer[-1][0], 'name', None) == 'Categorical' and self.N == 0:
+                        state = self._inflate_scales(engine, state)
+                    state, para, r2 = engine.train_chunk(state, rng.next_key(),
+                                                         int(this), int(ess_burn))
+                    para = [np.asarray(p) for p in para]
+                    if not all(np.all(np.isfinite(p)) for p in para):
+                        ok = False
+                        break
+                    snapshots[0].append(para)
+                    snapshots[1].append([np.asarray(r) for r in r2])
+                    done += this
+                    pgb.update(this)
+                    first_chunk = False
+            finally:
+                pgb.close()
+            if ok:
+                engine.set_state(state)
+                self._append_paths(snapshots)
+                self.N += N
+                return
+            restarts += 1
+            if restarts > max_restarts:
+                raise RuntimeError(f'Training failed after {max_restarts} restarts.')
+            self.N = N0
+            self.reinit_all_layer(reset_lengthscale=True, row=0)
+            self.imp = imputer(self.all_layer, self.block)
+            self.imp.sample(burnin=10)
+
+    def _inflate_scales(self, engine, state):
+        latents, params = state
+        import jax.numpy as jnp
+        new_params = []
+        for l, layer_p in enumerate(params):
+            if l == self.n_layer - 2:
+                lp = []
+                for p, node in zip(layer_p, self.all_layer[l]):
+                    if p is not None and node.scale_est:
+                        p = dict(p, scale=jnp.asarray(40.0, engine.dtype))
+                    lp.append(p)
+                new_params.append(tuple(lp))
+            else:
+                new_params.append(layer_p)
+        return latents, tuple(new_params)
+
+    def _append_paths(self, snapshots):
+        para_chunks, r2_chunks = snapshots
+        if para_chunks:
+            merged = [np.concatenate([c[i] for c in para_chunks]) for i in range(len(para_chunks[0]))]
+            i = 0
+            for layer in self.all_layer:
+                for node in layer:
+                    if node.type == 'gp':
+                        node.para_path = np.vstack((node.para_path, merged[i]))
+                        i += 1
+        if r2_chunks and r2_chunks[0]:
+            merged = [np.concatenate([c[i] for c in r2_chunks]) for i in range(len(r2_chunks[0]))]
+            i = 0
+            for l in range(1, self.n_layer):
+                for node in self.all_layer[l]:
+                    if node.type == 'gp' and node.connect is not None:
+                        node.R2 = merged[i] if node.R2 is None else np.vstack((node.R2, merged[i]))
+                        i += 1
+
+    def ptrain(self, N=500, ess_burn=10, disable=False, core_num=None):
+        """Parallel M-step training: on TPU the per-node optimisations already
+        run inside one compiled program, so this is `train`."""
+        return self.train(N=N, ess_burn=ess_burn, disable=disable)
+
+    # ------------------------------------------------------------------
+    # diagnostics / estimates
+    # ------------------------------------------------------------------
+    def compute_r2(self):
+        for l in range(1, self.n_layer):
+            for node in self.all_layer[l]:
+                if node.type == 'gp':
+                    node.r2(overwritten=True)
+
+    def aggregate_r2(self, burnin=0.75, agg='median'):
+        """Aggregated per-node R2 diagnostics (dgp.py:1481)."""
+        if burnin < 0 or burnin > 1:
+            raise Exception('burnin must be between 0 and 1.')
+        r2_list = []
+        for layer in self.all_layer:
+            layer_list = []
+            for node in layer:
+                if node.type == 'gp' and node.R2 is not None:
+                    b = int(len(node.R2) * burnin)
+                    if agg == 'mean':
+                        layer_list.append(np.mean(node.R2[b:, :], axis=0))
+                    elif agg == 'median':
+                        layer_list.append(np.median(node.R2[b:, :], axis=0))
+                    else:
+                        raise Exception("agg must be either 'median' or 'mean'.")
+                else:
+                    layer_list.append(None)
+            r2_list.append(layer_list)
+        return r2_list
+
+    def estimate(self, burnin=None):
+        """Posterior-mean hyper-parameters -> trained structure (dgp.py:1517)."""
+        if burnin is None:
+            self.burnin = int(self.N * (3 / 4))
+        else:
+            self.burnin = burnin
+        final_struct = copy.deepcopy(self.all_layer)
+        for layer in final_struct:
+            for node in layer:
+                if node.type == 'gp':
+                    est = np.mean(node.para_path[self.burnin:, :], axis=0)
+                    node.scale = np.atleast_1d(est[0])
+                    node.length = np.atleast_1d(est[1:-1])
+                    node.nugget = np.atleast_1d(est[-1])
+        return final_struct
+
+    def plot(self, layer_no, ker_no, width=4., height=1., ticksize=5.,
+             labelsize=8., hspace=0.1):
+        """Hyper-parameter trace plots (dgp.py:1543)."""
+        import matplotlib.pyplot as plt
+        node = self.all_layer[layer_no - 1][ker_no - 1]
+        if node.type != 'gp':
+            print('There is nothing to plot for a likelihood node.')
+            return
+        n_para = node.para_path.shape[1]
+        fig, axes = plt.subplots(n_para, figsize=(width, n_para * height), dpi=100, sharex=True)
+        fig.tight_layout()
+        fig.subplots_adjust(hspace=hspace)
+        for p in range(n_para):
+            axes[p].plot(node.para_path[:, p])
+            axes[p].tick_params(axis='both', which='major', labelsize=ticksize)
+            if p == 0:
+                axes[p].set_ylabel(r'$\sigma^2$', fontsize=labelsize)
+            elif p == n_para - 1:
+                axes[p].set_ylabel(r'$\eta$', fontsize=labelsize)
+            else:
+                axes[p].set_ylabel(r'$\gamma_{%i}$' % p, fontsize=labelsize)
+        plt.show()
+
+    # ------------------------------------------------------------------
+    # data refresh
+    # ------------------------------------------------------------------
+    def reinit_all_layer(self, reset_lengthscale, row=0):
+        """Re-initialise latents (and optionally hyper-params) keeping the
+        structure (dgp.py:1097)."""
+        if reset_lengthscale:
+            for layer in self.all_layer:
+                for node in layer:
+                    if node.type == 'gp':
+                        initial = node.para_path[row, :]
+                        node.scale = np.atleast_1d(initial[0]).copy()
+                        node.length = np.atleast_1d(initial[1:-1]).copy()
+                        node.nugget = np.atleast_1d(initial[-1]).copy()
+        self.initialize()
+
+    def update_xy(self, X, Y, reset=False):
+        """Update the model with new data (dgp.py:824).  Latents for shared
+        points are kept; new points get conditional-mean latents."""
+        dt = np.dtype(config.default_dtype())
+        if isinstance(Y, list):
+            Y = Y[0]
+        if Y.ndim == 1 or X.ndim == 1:
+            raise Exception('The input and output data have to be numpy 2d-arrays.')
+        final = self.all_layer[-1][0]
+        if getattr(final, 'name', None) == 'Categorical':
+            Y = final.class_encoder.transform(np.asarray(Y).flatten()).reshape(-1, 1)
+        self.Y = Y if np.issubdtype(np.asarray(Y).dtype, np.integer) else np.asarray(Y, dt)
+        origin_X = self.X.copy()
+        self.indices = None
+        X = np.asarray(X, dt)
+        if self.check_rep:
+            X0, indices, counts = np.unique(X, return_inverse=True, return_counts=True, axis=0)
+            if len(X0) != len(X):
+                self.X = X0
+                self.indices = indices.flatten()
+                self.counts = counts
+            else:
+                self.X = X
+        else:
+            self.X = X
+        self.n_data = self.X.shape[0]
+        self.m = min(self.m, self.n_data - 1)
+        if reset:
+            self.reinit_all_layer(reset_lengthscale=True)
+            burnin = 10
+        else:
+            if (self.X[:, None] == origin_X).all(-1).any(-1).all():
+                sub_idx = np.where((origin_X == self.X[:, None]).all(-1))[1]
+                self._subset_latents(sub_idx)
+                burnin = 50
+            elif (origin_X[:, None] == self.X).all(-1).any(-1).all():
+                sub_idx = np.where((self.X == origin_X[:, None]).all(-1))[1]
+                self._extend_latents(sub_idx)
+                burnin = 50
+            else:
+                self.reinit_all_layer(reset_lengthscale=False)
+                burnin = 200
+        self.imp = imputer(self.all_layer, self.block)
+        self.imp.sample(burnin=burnin)
+        self.compute_r2()
+
+    def _subset_latents(self, sub_idx):
+        """New X is a subset of the old X: slice latents (dgp.py:1014)."""
+        for l in range(self.n_layer):
+            for k, node in enumerate(self.all_layer[l]):
+                if l == self.n_layer - 1:
+                    if node.type == 'gp':
+                        node.input = node.input[sub_idx, :]
+                    else:
+                        if node.rep is None:
+                            node.input = node.input[sub_idx, :]
+                        else:
+                            uniq = np.concatenate(
+                                [np.unique(node.input[node.rep == i, :], axis=0)
+                                 for i in range(np.max(node.rep) + 1)], axis=0)
+                            node.input = uniq[sub_idx, :]
+                        if self.indices is not None:
+                            node.input = node.input[self.indices, :]
+                    node.rep = self.indices
+                else:
+                    node.input = node.input[sub_idx, :]
+                if node.type == 'gp' and node.connect is not None:
+                    node.global_input = self.X[:, node.connect].copy()
+                self._refresh_node_output(l, k, node, sub_idx=sub_idx)
+
+    def _extend_latents(self, sub_idx):
+        """Old X is a subset of new X: extend latents by conditional means
+        (dgp.py:890)."""
+        global_in = self.X.copy()
+        In = self.X.copy()
+        mask = np.zeros(len(self.X), bool)
+        mask[sub_idx] = True
+        for l in range(self.n_layer):
+            layer = self.all_layer[l]
+            num_kernel = len(layer)
+            if l != self.n_layer - 1:
+                Out = np.empty((len(In), num_kernel))
+            for k, node in enumerate(layer):
+                if l != self.n_layer - 1:
+                    node.m = self.m
+                    # conditional mean of existing node GP at the new points
+                    x_new = In[~mask, :][:, node.input_dim]
+                    z_new = global_in[~mask, :][:, node.connect] if node.connect is not None else None
+                    node.compute_stats()
+                    mu, _ = node.gp_prediction(x_new, z_new)
+                    node.input = In[:, node.input_dim].copy()
+                    Out[sub_idx, k] = node.output.flatten()
+                    Out[~mask, k] = mu
+                    node.output = Out[:, [k]].copy()
+                    if node.connect is not None:
+                        node.global_input = global_in[:, node.connect].copy()
+                else:
+                    node.rep = self.indices
+                    if node.rep is None or node.type == 'gp':
+                        node.input = In[:, node.input_dim].copy()
+                    else:
+                        node.input = In[node.rep, :][:, node.input_dim].copy()
+                    if node.type == 'gp' and node.connect is not None:
+                        node.global_input = global_in[:, node.connect].copy()
+                    self._refresh_node_output(l, k, node)
+            if l != self.n_layer - 1:
+                In = Out.copy()
+
+    def _refresh_node_output(self, l, k, node, sub_idx=None):
+        dt = np.dtype(config.default_dtype())
+        if l == self.n_layer - 1:
+            Ycol = self.Y[:, [k]]
+            if node.type == 'likelihood':
+                node.output = np.asarray(Ycol).copy()
+            elif node.rep is None:
+                node.output = np.asarray(Ycol, dt).copy()
+                node.W_diag = None
+                node.sum_residual = None
+            else:
+                NN = node.rep.max() + 1
+                sum_y = np.bincount(node.rep, weights=np.asarray(Ycol, dt).flatten(), minlength=NN)
+                node.W_diag = 1.0 / np.bincount(node.rep, minlength=NN)
+                node.output = (sum_y * node.W_diag).reshape(-1, 1)
+                residual = np.asarray(Ycol, dt) - node.output[node.rep, :]
+                node.sum_residual = (residual.T @ residual).flatten()
+        elif sub_idx is not None:
+            node.output = node.output[sub_idx, :].copy()
+        if node.type == 'gp' and node.prior_name == 'ref':
+            node.compute_cl()
+
+    def to_vecchia(self, m=25, ord_fun=None):
+        if self.vecch:
+            raise Exception('The DGP structure is already in Vecchia mode.')
+        self.vecch = True
+        self.m = min(m, self.n_data - 1)
+        self.ord_fun = ord_fun
+        for layer in self.all_layer:
+            for node in layer:
+                if node.type == 'gp':
+                    node.vecch, node.m, node.ord_fun = True, self.m, ord_fun
+        self.imp = imputer(self.all_layer, self.block)
+        self.imp.update_ord_nn()
+
+    def remove_vecchia(self):
+        if not self.vecch:
+            raise Exception('The DGP structure is already in non-Vecchia mode.')
+        self.vecch = False
+        for layer in self.all_layer:
+            for node in layer:
+                if node.type == 'gp':
+                    node.vecch = False
+        self.imp = imputer(self.all_layer, self.block)
