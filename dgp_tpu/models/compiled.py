@@ -9,6 +9,10 @@ per iteration.  Here the DGP's dynamic state is a pytree
       params  : tuple over layers of tuples of per-GP-node
                 {'length': (p,), 'nugget': (), 'scale': ()}
 
+plus, under the Vecchia approximation, a per-node neighbour structure
+
+    nn_state : tuple over layers of tuples of {'ord': (n,), 'NN': (n, m+1)}
+
 and the static structure (wiring, kernel names, priors, likelihoods,
 replicate layout) is captured in a hashable spec.  One `train_chunk` call
 runs `n_iters` full SEM iterations (ESS-within-Gibbs I-step + per-node
@@ -17,6 +21,9 @@ bounded-L-BFGS M-step) as a single `lax.scan`, with zero host round-trips.
 The ESS rejection loop is a `lax.while_loop` (ess.ess_update); the
 Hetero mean's exact Gibbs draw (likelihood_class.post_het1/post_het2) is a
 fused linear-algebra block; per-node optimisations use autodiff gradients.
+Vecchia log-likelihoods/objectives run as batched masked (n, m+1, m+1)
+Cholesky factorisations (vecchia.core); prior draws under Vecchia use
+ancestral sampling with batch-precomputed conditional weights.
 """
 from functools import partial
 
@@ -28,6 +35,7 @@ from .. import gp_core, likelihoods
 from ..ess import ess_update
 from ..ops import kernels as kops
 from ..ops import linalg, lbfgs
+from ..vecchia import core as vcore
 from .. import config
 
 
@@ -51,12 +59,14 @@ class NodeSpec:
             self.bds = None if obj.bds is None else tuple(float(b) for b in obj.bds)
             self.has_rep = obj.W_diag is not None
             self.D = int(obj.D)
+            self.vecch = bool(getattr(obj, 'vecch', False))
         else:
             self.link = getattr(obj, 'link', None)
             self.num_classes = getattr(obj, 'num_classes', None)
             self.robustmax_eps = getattr(obj, 'robustmax_eps', 1e-3)
             self.exact_post_idx = getattr(obj, 'exact_post_idx', None)
             self.has_rep = obj.rep is not None
+            self.vecch = False
 
 
 class CompiledDGP:
@@ -69,7 +79,6 @@ class CompiledDGP:
         self.spec = [[NodeSpec(node, l, self.n_layer) for node in layer]
                      for l, layer in enumerate(all_layer)]
         self.dtype = config.default_dtype()
-        # data (static during training)
         self._extract_data()
         self._jit_cache = {}
 
@@ -80,29 +89,22 @@ class CompiledDGP:
         dt = self.dtype
         first = self.all_layer[0][0]
         n = first.input.shape[0]
-        # reconstruct the global input X from first-layer node wiring
         d_global = 0
-        for node, sp in zip(self.all_layer[0], self.spec[0]):
-            d_global = max(d_global, max(sp.input_dim) + 1)
-            if sp.connect is not None:
-                d_global = max(d_global, max(sp.connect) + 1)
         for layer, specs in zip(self.all_layer, self.spec):
             for node, sp in zip(layer, specs):
                 if sp.connect is not None:
                     d_global = max(d_global, max(sp.connect) + 1)
+        for sp in self.spec[0]:
+            d_global = max(d_global, max(sp.input_dim) + 1)
         X = np.zeros((n, d_global), dt)
-        seen = np.zeros(d_global, bool)
         for node, sp in zip(self.all_layer[0], self.spec[0]):
             X[:, list(sp.input_dim)] = node.input
-            seen[list(sp.input_dim)] = True
         for layer, specs in zip(self.all_layer, self.spec):
             for node, sp in zip(layer, specs):
                 if sp.connect is not None and node.global_input is not None:
                     X[:, list(sp.connect)] = node.global_input
-                    seen[list(sp.connect)] = True
         self.X = jnp.asarray(X)
         self.n = n
-        # final-layer data
         y_final, w_diag, sum_res, rep, y_lik = [], [], [], None, []
         for node, sp in zip(self.all_layer[-1], self.spec[-1]):
             if sp.kind == 'gp':
@@ -127,7 +129,6 @@ class CompiledDGP:
         self.n_orig = float(len(rep)) if rep is not None else float(n)
 
     def get_state(self):
-        """Extract (latents, params) pytree from the object graph."""
         dt = self.dtype
         latents = tuple(
             jnp.asarray(np.column_stack([node.output[:, 0] for node in layer]), dt)
@@ -138,16 +139,28 @@ class CompiledDGP:
                 {'length': jnp.asarray(node.length, dt),
                  'nugget': jnp.asarray(float(node.nugget[0]), dt),
                  'scale': jnp.asarray(float(node.scale[0]), dt)}
-                if sp.kind == 'gp' else None
-                for node, sp in zip(layer, specs)
+                if node.type == 'gp' else None
+                for node in layer
             )
-            for layer, specs in zip(self.all_layer, [self.spec[l] for l in range(self.n_layer)])
+            for layer in self.all_layer
         )
         return latents, params
 
+    def get_nn_state(self):
+        """Per-node Vecchia ordering/neighbour arrays (None for dense nodes)."""
+        out = []
+        for layer, specs in zip(self.all_layer, self.spec):
+            lay = []
+            for node, sp in zip(layer, specs):
+                if sp.kind == 'gp' and sp.vecch:
+                    lay.append({'ord': jnp.asarray(node.ord, jnp.int32),
+                                'NN': jnp.asarray(node.NNarray, jnp.int32)})
+                else:
+                    lay.append(None)
+            out.append(tuple(lay))
+        return tuple(out)
+
     def set_state(self, state):
-        """Write a (latents, params) pytree back into the object graph,
-        refreshing node inputs/outputs exactly as the reference mutates them."""
         latents, params = state
         latents = [np.asarray(a) for a in latents]
         for l, (layer, specs) in enumerate(zip(self.all_layer, self.spec)):
@@ -177,22 +190,30 @@ class CompiledDGP:
             Xn = jnp.concatenate([Xn, self.X[:, list(sp.connect)]], axis=1)
         return Xn
 
-    def _gp_loglik(self, l, k, latents, params):
-        """Marginal log-lik of GP node (l, k) at current params -- the ESS
-        acceptance contribution (kernel_class.log_likelihood_func)."""
+    def _gp_loglik(self, l, k, latents, params, nn_state):
         sp = self.spec[l][k]
         p = params[l][k]
         Xn = self._node_input(l, k, latents)
         y = self.y_final[k] if sp.is_final else latents[l][:, k]
         w_diag = self.w_diag[k] if (sp.is_final and sp.has_rep) else None
         ref_coef = jnp.asarray(sp.prior_coef, self.dtype) if sp.prior_name == 'ref' else None
+        if sp.vecch:
+            ns = nn_state[l][k]
+            nd = w_diag if w_diag is not None else jnp.ones(Xn.shape[0], self.dtype)
+            ll = vcore.vecchia_llik(Xn[ns['ord']], y[ns['ord']], ns['NN'],
+                                    p['scale'], p['length'], p['nugget'],
+                                    nd[ns['ord']], sp.name)
+            if ref_coef is not None:
+                cl = gp_core.compute_cl(Xn, Xn.shape[0], sp.n_length, True)
+                ll += gp_core.log_prior(p['length'], p['nugget'], prior_name='ref',
+                                        prior_coef=ref_coef, nugget_est=False, cl=cl)
+            return ll
         return gp_core.log_lik_fixed(
             Xn, y, p['length'], p['scale'], p['nugget'], name=sp.name,
             w_diag=w_diag, ref_prior_coef=ref_coef, n_length=sp.n_length,
             vecch=False)
 
-    def _lik_loglik(self, k, latents, final_layer_idx=None):
-        """Log-lik of likelihood node k in the final layer."""
+    def _lik_loglik(self, k, latents):
         sp = self.spec[-1][k]
         f = latents[self.n_layer - 2]
         if sp.has_rep:
@@ -205,47 +226,48 @@ class CompiledDGP:
             fn = likelihoods.llik_fn(sp.name)
         return fn(f, self.y_lik[k])
 
-    def _upper_loglik(self, l, latents, params):
-        """Sum of log-liks of all nodes in layer l+1 (the ESS target for
-        imputing layer l)."""
+    def _upper_loglik(self, l, latents, params, nn_state):
         total = jnp.asarray(0.0, self.dtype)
         for k, sp in enumerate(self.spec[l + 1]):
             if sp.kind == 'gp':
-                total = total + self._gp_loglik(l + 1, k, latents, params)
+                total = total + self._gp_loglik(l + 1, k, latents, params, nn_state)
             else:
                 total = total + self._lik_loglik(k, latents)
         return total
 
-    def _draw_prior_layer(self, l, latents, params, key):
-        """nu ~ N(0, scale_k * K_k) draws for all nodes of hidden layer l."""
-        cols = []
-        keys = jax.random.split(key, len(self.spec[l]))
-        for k, sp in enumerate(self.spec[l]):
-            p = params[l][k]
-            Xn = self._node_input(l, k, latents)
-            K = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
-            L = linalg.safe_cholesky(K)
-            cols.append(linalg.mvn_sample(keys[k], L))
-        return jnp.stack(cols, axis=1)
+    def _draw_prior_node(self, l, k, latents, params, nn_state, key):
+        """nu ~ N(0, scale * K) for one hidden node (dense Cholesky or
+        Vecchia ancestral sampling)."""
+        sp = self.spec[l][k]
+        p = params[l][k]
+        Xn = self._node_input(l, k, latents)
+        if sp.vecch:
+            ns = nn_state[l][k]
+            samp = vcore.fmvn_sp(key, Xn[ns['ord']], ns['NN'], p['scale'],
+                                 p['length'], p['nugget'], sp.name)
+            rev_ord = jnp.argsort(ns['ord'])
+            return samp[rev_ord]
+        K = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
+        L = linalg.safe_cholesky(K)
+        return linalg.mvn_sample(key, L)
 
-    def _ess_block_layer(self, l, latents, params, key):
-        """Blocked (layer-wise) ESS update of hidden layer l
-        (imputation.one_sample_block)."""
+    def _ess_block_layer(self, l, latents, params, nn_state, key):
         k_nu, k_ess = jax.random.split(key)
-        nu = self._draw_prior_layer(l, latents, params, k_nu)
+        keys = jax.random.split(k_nu, len(self.spec[l]))
+        nu = jnp.stack([
+            self._draw_prior_node(l, k, latents, params, nn_state, keys[k])
+            for k in range(len(self.spec[l]))], axis=1)
         f = latents[l]
 
         def log_lik(fp):
             lat2 = latents[:l] + (fp,) + latents[l + 1:]
-            return self._upper_loglik(l, lat2, params)
+            return self._upper_loglik(l, lat2, params, nn_state)
 
         f_new = ess_update(k_ess, f, nu, log_lik)
         return latents[:l] + (f_new,) + latents[l + 1:]
 
     # -- Hetero exact conditional posterior ----------------------------
     def _post_het(self, v, Gamma, y, key, rep):
-        """Draw the Hetero mean latent from its exact conditional posterior
-        (likelihood_class.post_het1/post_het2 in fused form)."""
         dt = self.dtype
         N = v.shape[0]
         if rep is None:
@@ -267,21 +289,21 @@ class CompiledDGP:
         w = jnp.sqrt(d) * sd[:, 1]
         return mu + u - v @ solve(u + w)
 
-    def _ess_nodewise_layer(self, l, latents, params, key):
-        """Node-wise ESS of hidden layer l, with the exact Gibbs shortcut for
-        likelihood parameters that admit closed-form conditionals
-        (imputation.one_sample)."""
+    def _ess_nodewise_layer(self, l, latents, params, nn_state, key):
         keys = jax.random.split(key, len(self.spec[l]))
         for k, sp in enumerate(self.spec[l]):
             p = params[l][k]
             linked = [(j, usp) for j, usp in enumerate(self.spec[l + 1])
                       if k in usp.input_dim]
-            # exact posterior path (Hetero mean)
             if (len(linked) == 1 and linked[0][1].kind == 'likelihood'
                     and linked[0][1].exact_post_idx is not None):
                 usp = linked[0][1]
                 idx = list(usp.input_dim).index(k)
                 if idx in list(np.atleast_1d(usp.exact_post_idx)):
+                    # Exact Gibbs draw for the Hetero mean.  Under Vecchia the
+                    # reference uses a sparse 2n x n factor (U_matrix_sp); here
+                    # the dense exact posterior is used for both modes (same
+                    # distribution; dense cost).
                     Xn = self._node_input(l, k, latents)
                     v = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
                     logvar_col = usp.input_dim[1]
@@ -295,12 +317,8 @@ class CompiledDGP:
                         f = self._post_het(v, Gamma, y, keys[k], None)
                     latents = latents[:l] + (latents[l].at[:, k].set(f),) + latents[l + 1:]
                     continue
-            # node-wise ESS
             k_nu, k_ess = jax.random.split(keys[k])
-            Xn = self._node_input(l, k, latents)
-            K = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
-            Lc = linalg.safe_cholesky(K)
-            nu = linalg.mvn_sample(k_nu, Lc)
+            nu = self._draw_prior_node(l, k, latents, params, nn_state, k_nu)
             f = latents[l][:, k]
 
             def log_lik(fp, l=l, k=k, linked=linked):
@@ -308,7 +326,7 @@ class CompiledDGP:
                 total = jnp.asarray(0.0, self.dtype)
                 for j, usp in linked:
                     if usp.kind == 'gp':
-                        total = total + self._gp_loglik(l + 1, j, lat2, params)
+                        total = total + self._gp_loglik(l + 1, j, lat2, params, nn_state)
                     else:
                         total = total + self._lik_loglik(j, lat2)
                 return total
@@ -318,53 +336,79 @@ class CompiledDGP:
         return latents
 
     def _layer_is_exact(self, l):
-        """Does layer l+1 contain a likelihood with an exact conditional?"""
         return any(sp.kind == 'likelihood' and sp.exact_post_idx is not None
                    for sp in self.spec[l + 1])
 
-    def _sweep(self, latents, params, key):
-        """One full ESS-within-Gibbs sweep over all hidden layers."""
+    def _sweep(self, latents, params, nn_state, key):
         keys = jax.random.split(key, self.n_layer - 1)
         for l in range(self.n_layer - 1):
             if self.block and not self._layer_is_exact(l):
-                latents = self._ess_block_layer(l, latents, params, keys[l])
+                latents = self._ess_block_layer(l, latents, params, nn_state, keys[l])
             else:
-                latents = self._ess_nodewise_layer(l, latents, params, keys[l])
+                latents = self._ess_nodewise_layer(l, latents, params, nn_state, keys[l])
         return latents
 
-    def _i_step(self, latents, params, key, burnin):
+    def _i_step(self, latents, params, nn_state, key, burnin):
         def body(lat, k):
-            return self._sweep(lat, params, k), None
+            return self._sweep(lat, params, nn_state, k), None
 
         keys = jax.random.split(key, burnin + 1)
         latents, _ = jax.lax.scan(body, latents, keys)
         return latents
 
     # -- M-step ---------------------------------------------------------
-    def _m_step_node(self, l, k, latents, params):
+    def _m_step_node(self, l, k, latents, params, nn_state):
         sp = self.spec[l][k]
         p = params[l][k]
         Xn = self._node_input(l, k, latents)
         y = self.y_final[k] if sp.is_final else latents[l][:, k]
         w_diag = self.w_diag[k] if (sp.is_final and sp.has_rep) else None
         sum_res = self.sum_res[k] if (sp.is_final and sp.has_rep) else None
-        cl = (gp_core.compute_cl(Xn, y.shape[0], sp.n_length, False)
-              if sp.prior_name == 'ref' else None)
         prior_coef = (jnp.asarray(sp.prior_coef, self.dtype)
                       if sp.prior_coef is not None else None)
-        kw = dict(name=sp.name, n_length=sp.n_length, scale_est=sp.scale_est,
-                  nugget_est=sp.nugget_est, fixed_scale=p['scale'],
-                  fixed_nugget=p['nugget'], prior_name=sp.prior_name,
-                  prior_coef=prior_coef, w_diag=w_diag, sum_residual=sum_res,
-                  n_orig=jnp.asarray(self.n_orig, self.dtype), cl=cl)
 
         if sp.nugget_est:
             lt0 = jnp.concatenate([jnp.log(p['length']), jnp.log(p['nugget'])[None]])
         else:
             lt0 = jnp.log(p['length'])
 
+        if sp.vecch:
+            ns = nn_state[l][k]
+            nd = w_diag if w_diag is not None else jnp.ones(Xn.shape[0], self.dtype)
+            Xo, yo, ndo = Xn[ns['ord']], y[ns['ord']], nd[ns['ord']]
+
+            def obj(lt):
+                nll, scale = vcore.vecchia_nllik(
+                    lt, Xo, yo, ns['NN'], ndo, name=sp.name,
+                    scale_est=sp.scale_est, nugget_est=sp.nugget_est,
+                    fixed_scale=p['scale'], fixed_nugget=p['nugget'],
+                    n_orig=jnp.asarray(self.n_orig, self.dtype),
+                    sum_residual=sum_res)
+                if sp.prior_name is not None:
+                    if sp.nugget_est:
+                        length, nugget = jnp.exp(lt[:-1]), jnp.exp(lt[-1])
+                    else:
+                        length, nugget = jnp.exp(lt), p['nugget']
+                    cl = (gp_core.compute_cl(Xn, Xn.shape[0], sp.n_length, True)
+                          if sp.prior_name == 'ref' else None)
+                    nll -= gp_core.log_prior(length, nugget, prior_name=sp.prior_name,
+                                             prior_coef=prior_coef,
+                                             nugget_est=sp.nugget_est, cl=cl)
+                return nll, scale
+        else:
+            cl = (gp_core.compute_cl(Xn, y.shape[0], sp.n_length, False)
+                  if sp.prior_name == 'ref' else None)
+            kw = dict(name=sp.name, n_length=sp.n_length, scale_est=sp.scale_est,
+                      nugget_est=sp.nugget_est, fixed_scale=p['scale'],
+                      fixed_nugget=p['nugget'], prior_name=sp.prior_name,
+                      prior_coef=prior_coef, w_diag=w_diag, sum_residual=sum_res,
+                      n_orig=jnp.asarray(self.n_orig, self.dtype), cl=cl)
+
+            def obj(lt):
+                return gp_core.neg_log_lik(lt, Xn, y, **kw)
+
         def fg(lt):
-            nll, g, _ = gp_core.neg_log_lik_and_grad(lt, Xn, y, **kw)
+            (nll, _), g = jax.value_and_grad(obj, has_aux=True)(lt)
             return nll, g
 
         lb, ub, has_bounds = self._node_bounds(sp)
@@ -373,16 +417,13 @@ class CompiledDGP:
                                   lb if has_bounds else None,
                                   ub if has_bounds else None,
                                   maxiter=100, maxfun=maxfun)
-        _, scale = gp_core.neg_log_lik(lt, Xn, y, **kw)
-        # guard against a NaN-poisoned optimisation
+        _, scale = obj(lt)
         ok = jnp.all(jnp.isfinite(lt)) & jnp.isfinite(scale)
         lt = jnp.where(ok, lt, lt0)
         scale = jnp.where(ok & jnp.asarray(sp.scale_est), scale, p['scale'])
         if sp.nugget_est:
-            new = {'length': jnp.exp(lt[:-1]), 'nugget': jnp.exp(lt[-1]), 'scale': scale}
-        else:
-            new = {'length': jnp.exp(lt), 'nugget': p['nugget'], 'scale': scale}
-        return new
+            return {'length': jnp.exp(lt[:-1]), 'nugget': jnp.exp(lt[-1]), 'scale': scale}
+        return {'length': jnp.exp(lt), 'nugget': p['nugget'], 'scale': scale}
 
     def _node_bounds(self, sp):
         p = sp.n_length + (1 if sp.nugget_est else 0)
@@ -400,13 +441,13 @@ class CompiledDGP:
         has_bounds = np.any(lb > -big) or np.any(ub < big)
         return jnp.asarray(lb, self.dtype), jnp.asarray(ub, self.dtype), bool(has_bounds)
 
-    def _m_step(self, latents, params):
+    def _m_step(self, latents, params, nn_state):
         new_params = []
         for l in range(self.n_layer):
             layer_p = []
             for k, sp in enumerate(self.spec[l]):
                 if sp.kind == 'gp':
-                    layer_p.append(self._m_step_node(l, k, latents, params))
+                    layer_p.append(self._m_step_node(l, k, latents, params, nn_state))
                 else:
                     layer_p.append(None)
             new_params.append(tuple(layer_p))
@@ -423,8 +464,6 @@ class CompiledDGP:
         return tuple(out)
 
     def _r2_vector(self, latents):
-        """Per-node R^2 of global_input -> input, for nodes in layers > 0
-        with a global connection (kernel_class.r2)."""
         out = []
         for l in range(1, self.n_layer):
             for k, sp in enumerate(self.spec[l]):
@@ -447,34 +486,39 @@ class CompiledDGP:
             self._jit_cache[name] = builder()
         return self._jit_cache[name]
 
+    def _any_vecch(self):
+        return any(sp.kind == 'gp' and sp.vecch
+                   for layer in self.spec for sp in layer)
+
     def sample(self, state, key, burnin=0):
-        """Run (burnin+1) ESS-within-Gibbs sweeps; returns new state."""
+        nn_state = self.get_nn_state() if self._any_vecch() else self._empty_nn()
+
         def build():
-            @partial(jax.jit, static_argnums=(2,))
-            def f(state, key, burnin):
+            @partial(jax.jit, static_argnums=(3,))
+            def f(state, nn_state, key, burnin):
                 latents, params = state
-                latents = self._i_step(latents, params, key, burnin)
+                latents = self._i_step(latents, params, nn_state, key, burnin)
                 return latents, params
             return f
 
-        return self._get_jitted('sample', build)(state, key, burnin)
+        return self._get_jitted('sample', build)(state, nn_state, key, burnin)
+
+    def _empty_nn(self):
+        return tuple(tuple(None for _ in layer) for layer in self.spec)
 
     def train_chunk(self, state, key, n_iters, ess_burn):
-        """Run n_iters full SEM iterations on device.
+        """Run n_iters full SEM iterations on device."""
+        nn_state = self.get_nn_state() if self._any_vecch() else self._empty_nn()
 
-        Returns (state, para_path, r2_path): para_path is a tuple (one entry
-        per GP node, ordered layer-major) of (n_iters, p+2) hyper-parameter
-        traces; r2_path similar for connected nodes in layers > 0.
-        """
         def build():
-            @partial(jax.jit, static_argnums=(2, 3))
-            def f(state, key, n_iters, ess_burn):
+            @partial(jax.jit, static_argnums=(3, 4))
+            def f(state, nn_state, key, n_iters, ess_burn):
                 def body(carry, k):
                     latents, params = carry
                     k1, _ = jax.random.split(k)
-                    latents = self._i_step(latents, params, k1, ess_burn)
+                    latents = self._i_step(latents, params, nn_state, k1, ess_burn)
                     r2 = self._r2_vector(latents)
-                    params = self._m_step(latents, params)
+                    params = self._m_step(latents, params, nn_state)
                     return (latents, params), (self._para_vector(params), r2)
 
                 keys = jax.random.split(key, n_iters)
@@ -482,4 +526,5 @@ class CompiledDGP:
                 return (latents, params), para, r2
             return f
 
-        return self._get_jitted('train', build)(state, key, n_iters, ess_burn)
+        return self._get_jitted('train', build)(state, nn_state, key,
+                                                n_iters, ess_burn)

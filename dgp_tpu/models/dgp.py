@@ -422,6 +422,15 @@ class dgp:
             try:
                 while done < N:
                     this = min(chunk_size, N - done)
+                    if self.vecch:
+                        # stop the chunk at the next power-of-2 global
+                        # iteration so the NN structure refresh happens on
+                        # schedule (reference dgp.py:1388)
+                        g = N0 + done
+                        nxt = 1
+                        while nxt <= g:
+                            nxt *= 2
+                        this = min(this, nxt - g)
                     if first_chunk and getattr(self.all_layer[-1][0], 'name', None) == 'Categorical' and self.N == 0:
                         state = self._inflate_scales(engine, state)
                     state, para, r2 = engine.train_chunk(state, rng.next_key(),
@@ -435,6 +444,11 @@ class dgp:
                     done += this
                     pgb.update(this)
                     first_chunk = False
+                    g = N0 + done
+                    if self.vecch and g > 1 and (g & (g - 1)) == 0 and done < N:
+                        engine.set_state(state)
+                        self.imp.update_ord_nn()
+                        state = engine.get_state()
             finally:
                 pgb.close()
             if ok:

@@ -316,7 +316,8 @@ class kernel:
         self.add_to_path()
 
     def _maximise_vecch(self):
-        raise NotImplementedError("Vecchia training lands with the vecchia subsystem")
+        from ..vecchia import api as vecchia_api
+        vecchia_api.maximise_vecch(self)
 
     def add_to_path(self):
         para = np.concatenate((self.scale, self.length, self.nugget))
@@ -327,6 +328,9 @@ class kernel:
 
     def log_likelihood_func(self):
         """Marginal log-lik at current params: the ESS acceptance target."""
+        if self.vecch:
+            from ..vecchia import api as vecchia_api
+            return vecchia_api.log_likelihood_func_vecch(self)
         X, y, w_diag, _, _, pc = self._dyn_args()
         has_ref = self.prior_name == 'ref'
         f = _make_log_lik_fixed(self.name, self._has_rep(), has_ref,
@@ -359,7 +363,8 @@ class kernel:
         return np.asarray(m), np.asarray(v)
 
     def _gp_prediction_vecch(self, x, z):
-        raise NotImplementedError("Vecchia prediction lands with the vecchia subsystem")
+        from ..vecchia import api as vecchia_api
+        return vecchia_api.gp_prediction_vecch(self, x, z)
 
     def linkgp_prediction(self, m, v, z):
         if self.vecch:
@@ -377,7 +382,8 @@ class kernel:
         return np.asarray(mu), np.asarray(var)
 
     def _linkgp_prediction_vecch(self, m, v, z):
-        raise NotImplementedError("Vecchia prediction lands with the vecchia subsystem")
+        from ..vecchia import api as vecchia_api
+        return vecchia_api.linkgp_prediction_vecch(self, m, v, z)
 
     def linkgp_prediction_full(self, m, v, m_z, v_z, z):
         """Linked prediction when part of the global input is itself stochastic

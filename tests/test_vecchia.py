@@ -1,0 +1,206 @@
+"""Vecchia subsystem tests.
+
+The central golden property: with a full conditioning set (m = n-1) the
+Vecchia approximation is EXACT, so every Vecchia op must match its dense
+counterpart to numerical precision.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgp_tpu import rng, gp_core
+from dgp_tpu.vecchia import nn as vnn
+from dgp_tpu.vecchia import core as vcore
+from dgp_tpu.models.node import kernel, combine
+from dgp_tpu.models.gp import gp
+from dgp_tpu.models.dgp import dgp
+from dgp_tpu.models.emulation import emulator
+from dgp_tpu.ops import kernels as kops
+from dgp_tpu.ops import linalg
+
+
+def _seed(s):
+    np.random.seed(s)
+    rng.seed(s)
+
+
+def test_nn_ordered_against_bruteforce():
+    _seed(0)
+    X = np.random.normal(size=(40, 2))
+    m = 6
+    NN = vnn.nn(X, m)
+    assert NN.shape == (40, m + 1)
+    for i in range(40):
+        d = np.sum((X[:i + 1] - X[i]) ** 2, axis=1)
+        order = np.argsort(d)[:min(m + 1, i + 1)]
+        expected = set(order.tolist())
+        got = set(int(j) for j in NN[i] if j >= 0)
+        assert got == expected, (i, got, expected)
+        # descending order with -1 padding at the tail
+        vals = NN[i][NN[i] >= 0]
+        assert np.all(np.diff(vals) < 0)
+
+
+def test_get_pred_nn_against_bruteforce():
+    _seed(1)
+    X = np.random.normal(size=(30, 2))
+    Q = np.random.normal(size=(7, 2))
+    NN = vnn.get_pred_nn(Q, X, 5)
+    for i in range(7):
+        d = np.sum((X - Q[i]) ** 2, axis=1)
+        expected = np.argsort(d)[:5]
+        np.testing.assert_array_equal(np.sort(NN[i]), np.sort(expected))
+        assert NN[i][0] == expected[0]  # nearest first
+
+
+@pytest.mark.parametrize("name", ["sexp", "matern2.5"])
+def test_vecchia_llik_exact_with_full_conditioning(name):
+    _seed(2)
+    n = 20
+    X = np.random.uniform(size=(n, 1))
+    y = np.sin(4 * X[:, 0])
+    length = np.array([0.4])
+    scale, nugget = 1.7, 1e-4
+    ordv = np.random.permutation(n)
+    NN = vnn.nn(X[ordv], n - 1)
+    ll_v = float(vcore.vecchia_llik(jnp.asarray(X[ordv]), jnp.asarray(y[ordv]),
+                                    jnp.asarray(NN), scale, jnp.asarray(length),
+                                    nugget, jnp.ones(n), name))
+    # dense equivalent with the same constant convention:
+    K = np.asarray(kops.k_matrix(jnp.asarray(X), jnp.asarray(length), nugget, name))
+    L = np.linalg.cholesky(K)
+    alpha = np.linalg.solve(K, y)
+    ll_d = -0.5 * (2 * np.sum(np.log(np.diag(L))) + y @ alpha / scale)
+    np.testing.assert_allclose(ll_v, ll_d, rtol=1e-8)
+
+
+@pytest.mark.parametrize("scale_est", [True, False])
+def test_vecchia_nllik_exact_with_full_conditioning(scale_est):
+    _seed(3)
+    n = 15
+    X = np.random.uniform(size=(n, 2))
+    y = np.sin(3 * X[:, 0]) + X[:, 1]
+    length = np.array([0.5, 0.8])
+    nugget = 1e-3
+    lt = np.log(np.concatenate([length, [nugget]]))
+    ordv = np.random.permutation(n)
+    NN = vnn.nn(X[ordv], n - 1)
+    nll_v, scale_v = vcore.vecchia_nllik(
+        jnp.asarray(lt), jnp.asarray(X[ordv]), jnp.asarray(y[ordv]),
+        jnp.asarray(NN), jnp.ones(n), name='sexp', scale_est=scale_est,
+        nugget_est=True, fixed_scale=jnp.asarray(2.0), fixed_nugget=jnp.asarray(nugget),
+        n_orig=jnp.asarray(float(n)), sum_residual=None)
+    nll_d, scale_d = gp_core.neg_log_lik(
+        jnp.asarray(lt), jnp.asarray(X), jnp.asarray(y), name='sexp', n_length=2,
+        scale_est=scale_est, nugget_est=True, fixed_scale=jnp.asarray(2.0),
+        fixed_nugget=jnp.asarray(nugget), prior_name=None, prior_coef=None)
+    np.testing.assert_allclose(float(nll_v), float(nll_d), rtol=1e-8)
+    np.testing.assert_allclose(float(scale_v), float(scale_d), rtol=1e-8)
+    # gradients agree too (autodiff through both paths)
+    gv = jax.grad(lambda t: vcore.vecchia_nllik(
+        t, jnp.asarray(X[ordv]), jnp.asarray(y[ordv]), jnp.asarray(NN),
+        jnp.ones(n), name='sexp', scale_est=scale_est, nugget_est=True,
+        fixed_scale=jnp.asarray(2.0), fixed_nugget=jnp.asarray(nugget),
+        n_orig=jnp.asarray(float(n)), sum_residual=None)[0])(jnp.asarray(lt))
+    gd = jax.grad(lambda t: gp_core.neg_log_lik(
+        t, jnp.asarray(X), jnp.asarray(y), name='sexp', n_length=2,
+        scale_est=scale_est, nugget_est=True, fixed_scale=jnp.asarray(2.0),
+        fixed_nugget=jnp.asarray(nugget), prior_name=None, prior_coef=None)[0])(jnp.asarray(lt))
+    np.testing.assert_allclose(np.asarray(gv), np.asarray(gd), rtol=1e-6, atol=1e-8)
+
+
+def test_gp_vecch_prediction_exact_with_full_conditioning():
+    _seed(4)
+    n = 18
+    X = np.random.uniform(size=(n, 1))
+    y = np.sin(5 * X)
+    xt = np.random.uniform(size=(9, 1))
+    length = np.array([0.3])
+    scale, nugget = 1.2, 1e-5
+    NN = vnn.get_pred_nn(xt, X, n)
+    mv, vv = vcore.gp_vecch(jnp.asarray(xt), jnp.asarray(X), jnp.asarray(NN),
+                            jnp.asarray(y[:, 0]), scale, jnp.asarray(length), nugget,
+                            jnp.ones(n), 'sexp')
+    Rinv, Rinv_y = gp_core.compute_stats(jnp.asarray(X), jnp.asarray(y[:, 0]),
+                                         jnp.asarray(length), nugget, name='sexp')
+    md, vd = gp_core.gp_predict(jnp.asarray(xt), jnp.asarray(X), Rinv, Rinv_y,
+                                scale, jnp.asarray(length), nugget, name='sexp')
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(md), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(vv), np.asarray(vd), rtol=1e-5, atol=1e-10)
+
+
+def test_link_gp_vecch_exact_with_full_conditioning():
+    _seed(5)
+    n = 14
+    W = np.random.uniform(size=(n, 1))
+    y = np.cos(3 * W)
+    m_in = np.random.uniform(size=(6, 1))
+    v_in = 0.05 * np.random.uniform(size=(6, 1))
+    length = np.array([0.5])
+    scale, nugget = 0.9, 1e-5
+    NN = vnn.get_pred_nn(m_in, W, n)
+    mv, vv = vcore.link_gp_vecch(jnp.asarray(m_in), jnp.asarray(v_in), None,
+                                 jnp.asarray(W), None, jnp.asarray(NN),
+                                 jnp.asarray(y[:, 0]), scale, jnp.asarray(length),
+                                 nugget, jnp.ones(n), 'sexp')
+    Rinv, Rinv_y = gp_core.compute_stats(jnp.asarray(W), jnp.asarray(y[:, 0]),
+                                         jnp.asarray(length), nugget, name='sexp')
+    md, vd = gp_core.linkgp_predict(jnp.asarray(m_in), jnp.asarray(v_in), None,
+                                    jnp.asarray(W), None, Rinv, Rinv_y, scale,
+                                    jnp.asarray(length), nugget, name='sexp')
+    np.testing.assert_allclose(np.asarray(mv), np.asarray(md), rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(vv), np.asarray(vd), rtol=1e-4, atol=1e-9)
+
+
+def test_fmvn_sp_moments():
+    """Ancestral Vecchia samples with full conditioning reproduce N(0, sK)."""
+    _seed(6)
+    n = 10
+    X = np.random.uniform(size=(n, 1))
+    length = np.array([0.5])
+    scale, nugget = 2.0, 1e-4
+    NN = vnn.nn(X, n - 1)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3000)
+    f = jax.jit(lambda k: vcore.fmvn_sp(k, jnp.asarray(X), jnp.asarray(NN),
+                                        scale, jnp.asarray(length), nugget, 'sexp'))
+    samples = np.asarray(jax.vmap(f)(keys))
+    K = scale * np.asarray(kops.k_matrix(jnp.asarray(X), jnp.asarray(length),
+                                         nugget, 'sexp'))
+    emp = np.cov(samples.T)
+    np.testing.assert_allclose(emp, K, atol=0.25)
+
+
+def test_gp_class_vecchia_mode():
+    _seed(7)
+    n = 120
+    X = np.random.uniform(size=(n, 1))
+    Y = np.sin(4 * np.pi * X)
+    m = gp(X, Y, kernel(length=np.array([0.5]), name='matern2.5', scale_est=True,
+                        nugget_est=True, nugget=1e-4), vecchia=True, m=20)
+    m.train()
+    xt = np.linspace(0.05, 0.95, 60).reshape(-1, 1)
+    mu, var = m.predict(xt)
+    rmse = np.sqrt(np.mean((mu - np.sin(4 * np.pi * xt)) ** 2))
+    assert rmse < 0.05, rmse
+    mu_l, var_l = m.loo()
+    assert mu_l.shape == Y.shape
+    # to/from vecchia round trip
+    m.remove_vecchia()
+    mu2, _ = m.predict(xt)
+    assert np.sqrt(np.mean((mu2 - np.sin(4 * np.pi * xt)) ** 2)) < 0.05
+
+
+def test_dgp_vecchia_training():
+    _seed(8)
+    n = 100
+    X = np.random.uniform(size=(n, 1))
+    Y = np.sign(X - 0.5) * np.abs(X - 0.5) ** 0.4
+    m = dgp(X, Y, vecchia=True, m=15)
+    m.train(N=60, disable=True, chunk_size=30)
+    emu = emulator(m.estimate(), N=5)
+    xt = np.linspace(0.02, 0.98, 50).reshape(-1, 1)
+    yt = np.sign(xt - 0.5) * np.abs(xt - 0.5) ** 0.4
+    mu, var = emu.predict(xt)
+    rmse = np.sqrt(np.mean((mu - yt) ** 2))
+    assert rmse < 0.25, rmse
