@@ -92,9 +92,10 @@ def neg_log_lik(log_theta, X, y, *, name, n_length, scale_est, nugget_est,
     n = y.shape[0]
     K = kernels.k_matrix(X, length, nugget, name, w_diag)
     L = linalg.safe_cholesky(K)
-    logdet = linalg.logdet_from_chol(L)
+    logdet = linalg.sum64(2.0 * jnp.log(jnp.abs(jnp.diagonal(L))))
     Kinv_y = linalg.cho_solve(L, y[:, None])[:, 0]
-    yKy = jnp.dot(y, Kinv_y)
+    yKy = linalg.sum64(y * Kinv_y)
+    nugget = jnp.asarray(nugget, jnp.float64)
     has_rep = w_diag is not None
     N = n_orig if has_rep else n
 
@@ -135,9 +136,8 @@ def log_lik_fixed(X, y, length, scale, nugget, *, name, w_diag=None,
     n = y.shape[0]
     K = scale * kernels.k_matrix(X, length, nugget, name, w_diag)
     L = linalg.safe_cholesky(K)
-    logdet = linalg.logdet_from_chol(L)
-    Kinv_y = linalg.cho_solve(L, y[:, None])[:, 0]
-    ll = -0.5 * (logdet + jnp.dot(y, Kinv_y))
+    logdet = linalg.sum64(2.0 * jnp.log(jnp.abs(jnp.diagonal(L))))
+    ll = -0.5 * (logdet + linalg.sum64(y * linalg.cho_solve(L, y[:, None])[:, 0]))
     if ref_prior_coef is not None:
         cl = compute_cl(X, n, n_length, vecch)
         ll += log_prior(length, nugget, prior_name="ref",

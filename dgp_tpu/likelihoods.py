@@ -16,6 +16,7 @@ from jax.nn import log_sigmoid, softplus
 from scipy.special import gammaln, expit, log_ndtr, ndtr
 
 from .ops.special import owens_t as j_owens_t
+from .ops.linalg import sum64 as _sum64
 
 
 # ======================================================================
@@ -24,13 +25,13 @@ from .ops.special import owens_t as j_owens_t
 def poisson_llik(f, y):
     f0 = f[:, 0]
     yv = y[:, 0]
-    return jnp.sum(yv * f0 - jnp.exp(f0) - j_gammaln(yv + 1.0))
+    return _sum64(yv * f0 - jnp.exp(f0) - j_gammaln(yv + 1.0))
 
 
 def hetero_llik(f, y):
     mu, log_var = f[:, 0], f[:, 1]
     r2 = (y[:, 0] - mu) ** 2
-    return jnp.sum(-0.5 * (jnp.log(2.0 * jnp.pi) + log_var + r2 * jnp.exp(-log_var)))
+    return _sum64(-0.5 * (jnp.log(2.0 * jnp.pi) + log_var + r2 * jnp.exp(-log_var)))
 
 
 def negbin_llik(f, y):
@@ -38,7 +39,7 @@ def negbin_llik(f, y):
     f1, f2 = f[:, 0], f[:, 1]
     n = jnp.exp(-f2)
     a = f1 + f2
-    return jnp.sum(j_gammaln(yv + n) - j_gammaln(n) - j_gammaln(yv + 1.0)
+    return _sum64(j_gammaln(yv + n) - j_gammaln(n) - j_gammaln(yv + 1.0)
                    + yv * a - (yv + n) * softplus(a))
 
 
@@ -47,16 +48,16 @@ def categorical_llik(f, y, *, num_classes, link, robustmax_eps=1e-3):
     if num_classes == 2:
         f0 = f[:, 0]
         if link == "logit":
-            return jnp.sum(yv * f0 - softplus(f0))
-        return jnp.sum(yv * j_log_ndtr(f0) + (1.0 - yv) * j_log_ndtr(-f0))
+            return _sum64(yv * f0 - softplus(f0))
+        return _sum64(yv * j_log_ndtr(f0) + (1.0 - yv) * j_log_ndtr(-f0))
     if link == "robustmax":
         k_star = jnp.argmax(f, axis=1)
         correct = k_star == yv.astype(jnp.int32)
-        return jnp.sum(jnp.where(correct, jnp.log(1.0 - robustmax_eps),
+        return _sum64(jnp.where(correct, jnp.log(1.0 - robustmax_eps),
                                  jnp.log(robustmax_eps / (num_classes - 1))))
     lse = jax_logsumexp(f)
     picked = jnp.take_along_axis(f, yv.astype(jnp.int32)[:, None], axis=1)[:, 0]
-    return jnp.sum(picked - lse)
+    return _sum64(picked - lse)
 
 
 def jax_logsumexp(f):
@@ -72,7 +73,7 @@ def zip_llik(f, y):
     log_1m_pi = log_sigmoid(-f_pi)    # log(1 - pi)
     ll_zero = jnp.logaddexp(log_pi, log_1m_pi - lam)
     ll_pos = log_1m_pi - lam + yv * f_lam - j_gammaln(yv + 1.0)
-    return jnp.sum(jnp.where(yv == 0, ll_zero, ll_pos))
+    return _sum64(jnp.where(yv == 0, ll_zero, ll_pos))
 
 
 def zinb_llik(f, y):
@@ -86,7 +87,7 @@ def zinb_llik(f, y):
     log_1m_pi = log_sigmoid(-f_pi)
     ll_zero = jnp.logaddexp(log_pi, log_1m_pi + log_nb)
     ll_pos = log_1m_pi + log_nb
-    return jnp.sum(jnp.where(yv == 0, ll_zero, ll_pos))
+    return _sum64(jnp.where(yv == 0, ll_zero, ll_pos))
 
 
 def llik_fn(name, **kw):

@@ -251,12 +251,43 @@ class CompiledDGP:
         L = linalg.safe_cholesky(K)
         return linalg.mvn_sample(key, L)
 
-    def _ess_block_layer(self, l, latents, params, nn_state, key):
+    def _draw_prior_node_batch(self, l, k, latents, params, nn_state, key, S):
+        """S iid prior draws for a node whose input is static within the
+        I-step (layer 0: inputs are the global X).  Amortises the sequential
+        ancestral-sampling scan across all ESS sweeps of an SEM iteration."""
+        sp = self.spec[l][k]
+        p = params[l][k]
+        Xn = self._node_input(l, k, latents)
+        n = Xn.shape[0]
+        if sp.vecch:
+            ns = nn_state[l][k]
+            w, sigma, idx_asc, _ = vcore.cond_weights(
+                Xn[ns['ord']], ns['NN'], p['length'], p['nugget'], sp.name)
+            eps = (jax.random.normal(key, (S, n), self.dtype)
+                   * jnp.sqrt(p['scale']) * sigma[None, :])
+
+            def body(i, xbuf):
+                xi = xbuf[:, idx_asc[i]] @ w[i] + eps[:, i]
+                return xbuf.at[:, i].set(xi)
+
+            samp = jax.lax.fori_loop(0, n, body, jnp.zeros((S, n), self.dtype))
+            rev_ord = jnp.argsort(ns['ord'])
+            return samp[:, rev_ord]
+        K = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
+        L = linalg.safe_cholesky(K)
+        eps = jax.random.normal(key, (n, S), self.dtype)
+        return (L @ eps).T
+
+    def _ess_block_layer(self, l, latents, params, nn_state, key, pre_nu=None, s=None):
         k_nu, k_ess = jax.random.split(key)
         keys = jax.random.split(k_nu, len(self.spec[l]))
-        nu = jnp.stack([
-            self._draw_prior_node(l, k, latents, params, nn_state, keys[k])
-            for k in range(len(self.spec[l]))], axis=1)
+        cols = []
+        for k in range(len(self.spec[l])):
+            if pre_nu is not None and (l, k) in pre_nu:
+                cols.append(pre_nu[(l, k)][s])
+            else:
+                cols.append(self._draw_prior_node(l, k, latents, params, nn_state, keys[k]))
+        nu = jnp.stack(cols, axis=1)
         f = latents[l]
 
         def log_lik(fp):
@@ -289,7 +320,7 @@ class CompiledDGP:
         w = jnp.sqrt(d) * sd[:, 1]
         return mu + u - v @ solve(u + w)
 
-    def _ess_nodewise_layer(self, l, latents, params, nn_state, key):
+    def _ess_nodewise_layer(self, l, latents, params, nn_state, key, pre_nu=None, s=None):
         keys = jax.random.split(key, len(self.spec[l]))
         for k, sp in enumerate(self.spec[l]):
             p = params[l][k]
@@ -318,7 +349,10 @@ class CompiledDGP:
                     latents = latents[:l] + (latents[l].at[:, k].set(f),) + latents[l + 1:]
                     continue
             k_nu, k_ess = jax.random.split(keys[k])
-            nu = self._draw_prior_node(l, k, latents, params, nn_state, k_nu)
+            if pre_nu is not None and (l, k) in pre_nu:
+                nu = pre_nu[(l, k)][s]
+            else:
+                nu = self._draw_prior_node(l, k, latents, params, nn_state, k_nu)
             f = latents[l][:, k]
 
             def log_lik(fp, l=l, k=k, linked=linked):
@@ -339,21 +373,36 @@ class CompiledDGP:
         return any(sp.kind == 'likelihood' and sp.exact_post_idx is not None
                    for sp in self.spec[l + 1])
 
-    def _sweep(self, latents, params, nn_state, key):
+    def _sweep(self, latents, params, nn_state, key, pre_nu=None, s=None):
         keys = jax.random.split(key, self.n_layer - 1)
         for l in range(self.n_layer - 1):
             if self.block and not self._layer_is_exact(l):
-                latents = self._ess_block_layer(l, latents, params, nn_state, keys[l])
+                latents = self._ess_block_layer(l, latents, params, nn_state,
+                                                keys[l], pre_nu, s)
             else:
-                latents = self._ess_nodewise_layer(l, latents, params, nn_state, keys[l])
+                latents = self._ess_nodewise_layer(l, latents, params, nn_state,
+                                                   keys[l], pre_nu, s)
         return latents
 
     def _i_step(self, latents, params, nn_state, key, burnin):
-        def body(lat, k):
-            return self._sweep(lat, params, nn_state, k), None
+        S = burnin + 1
+        key, k_pre = jax.random.split(key)
+        # Prior draws for layer-0 nodes are iid across sweeps (their inputs
+        # are the fixed global X), so draw them all at once.
+        pre_nu = {}
+        if self.n_layer > 1:
+            pre_keys = jax.random.split(k_pre, len(self.spec[0]))
+            for k, sp in enumerate(self.spec[0]):
+                if sp.kind == 'gp':
+                    pre_nu[(0, k)] = self._draw_prior_node_batch(
+                        0, k, latents, params, nn_state, pre_keys[k], S)
 
-        keys = jax.random.split(key, burnin + 1)
-        latents, _ = jax.lax.scan(body, latents, keys)
+        def body(lat, inp):
+            s, k = inp
+            return self._sweep(lat, params, nn_state, k, pre_nu, s), None
+
+        keys = jax.random.split(key, S)
+        latents, _ = jax.lax.scan(body, latents, (jnp.arange(S), keys))
         return latents
 
     # -- M-step ---------------------------------------------------------
@@ -418,6 +467,7 @@ class CompiledDGP:
                                   ub if has_bounds else None,
                                   maxiter=100, maxfun=maxfun)
         _, scale = obj(lt)
+        scale = jnp.asarray(scale, p['scale'].dtype)  # f64 accumulation -> state dtype
         ok = jnp.all(jnp.isfinite(lt)) & jnp.isfinite(scale)
         lt = jnp.where(ok, lt, lt0)
         scale = jnp.where(ok & jnp.asarray(sp.scale_est), scale, p['scale'])
@@ -472,7 +522,12 @@ class CompiledDGP:
                 G = self.X[:, list(sp.connect)]
                 G1 = jnp.concatenate([G, jnp.ones((G.shape[0], 1), self.dtype)], axis=1)
                 In = latents[l - 1][:, list(sp.input_dim)]
-                beta = jnp.linalg.lstsq(G1, In)[0]
+                # least squares via ridge-regularised normal equations
+                # (jnp.linalg.lstsq's QR/SVD lowering is avoided on TPU)
+                gtg = G1.T @ G1
+                eps = 1e-8 * jnp.trace(gtg) / gtg.shape[0]
+                beta = jnp.linalg.solve(gtg + eps * jnp.eye(gtg.shape[0], dtype=self.dtype),
+                                        G1.T @ In)
                 resid = jnp.sum((In - G1 @ beta) ** 2, axis=0)
                 rsq = 1.0 - resid / (In.shape[0] * jnp.var(In, axis=0))
                 out.append(rsq)

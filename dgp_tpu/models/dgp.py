@@ -425,12 +425,18 @@ class dgp:
                     if self.vecch:
                         # stop the chunk at the next power-of-2 global
                         # iteration so the NN structure refresh happens on
-                        # schedule (reference dgp.py:1388)
+                        # schedule (reference dgp.py:1388); keep chunk sizes
+                        # themselves powers of two so only O(log chunk_size)
+                        # distinct programs ever compile
                         g = N0 + done
                         nxt = 1
                         while nxt <= g:
                             nxt *= 2
                         this = min(this, nxt - g)
+                        p2 = 1
+                        while p2 * 2 <= this:
+                            p2 *= 2
+                        this = p2
                     if first_chunk and getattr(self.all_layer[-1][0], 'name', None) == 'Categorical' and self.N == 0:
                         state = self._inflate_scales(engine, state)
                     state, para, r2 = engine.train_chunk(state, rng.next_key(),

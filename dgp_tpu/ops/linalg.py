@@ -76,6 +76,17 @@ def trace_prod(A, B):
     return jnp.sum(A * jnp.swapaxes(B, -1, -2), axis=(-2, -1))
 
 
+def sum64(x, axis=None):
+    """Sum with float64 accumulation.
+
+    Log-likelihoods grow like O(n); in float32 their accumulation noise
+    (~|llik| * eps) can exceed the log-uniform ESS acceptance margin and
+    stall the bracket-shrinking loop.  Summing the (float32-computed)
+    per-point contributions in float64 removes the accumulation error at
+    negligible cost.  No-op upcast for float64 inputs."""
+    return jnp.sum(x.astype(jnp.float64), axis=axis)
+
+
 def mvn_sample(key, L, mean=None):
     """Sample from N(mean, L L^T) given a lower Cholesky factor (batched)."""
     sn = jax.random.normal(key, L.shape[:-1], dtype=L.dtype)

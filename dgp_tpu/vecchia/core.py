@@ -57,9 +57,9 @@ def vecchia_llik(X, y, NNarray, scale, length, nugget, nugget_diag, name):
     K, yi, _ = _blocks(X, y, NNarray, length, nugget, name, nugget_diag)
     L = _chol_chunked(K)
     Ly = linalg.tri_solve(L, yi[..., None])[..., 0]
-    quad = jnp.sum(Ly[:, -1] ** 2)
-    logdet = jnp.sum(2.0 * jnp.log(jnp.abs(L[:, -1, -1])))
-    return -0.5 * (logdet + quad / scale)
+    quad = linalg.sum64(Ly[:, -1] ** 2)
+    logdet = linalg.sum64(2.0 * jnp.log(jnp.abs(L[:, -1, -1])))
+    return -0.5 * (logdet + quad / jnp.asarray(scale, jnp.float64))
 
 
 def vecchia_nllik(log_theta, X, y, NNarray, nugget_diag, *, name, scale_est,
@@ -76,8 +76,9 @@ def vecchia_nllik(log_theta, X, y, NNarray, nugget_diag, *, name, scale_est,
     K, yi, _ = _blocks(X, y, NNarray, length, nugget, name, nugget_diag)
     L = linalg.safe_cholesky(K) if K.shape[0] <= 8192 else _chol_chunked(K)
     Ly = linalg.tri_solve(L, yi[..., None])[..., 0]
-    quad = jnp.sum(Ly[:, -1] ** 2)
-    logdet = jnp.sum(2.0 * jnp.log(jnp.abs(L[:, -1, -1])))
+    quad = linalg.sum64(Ly[:, -1] ** 2)
+    logdet = linalg.sum64(2.0 * jnp.log(jnp.abs(L[:, -1, -1])))
+    nugget = jnp.asarray(nugget, jnp.float64)
     has_rep = sum_residual is not None
     N = n_orig if has_rep else n
     if scale_est:
