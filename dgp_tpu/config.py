@@ -11,6 +11,9 @@ import jax
 import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
+# GP linear algebra (ill-conditioned solves, tiny conditional variances)
+# cannot tolerate bf16 MXU passes: run float32 matmuls at full precision.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 _DEFAULT_DTYPE = jnp.float64
 

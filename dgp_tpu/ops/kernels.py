@@ -22,13 +22,17 @@ SQRT5 = 2.23606797749978969
 
 
 def _sq_dists(X, Z=None):
-    """Pairwise squared euclidean distances, (..., n, m)."""
+    """Pairwise squared euclidean distances, (..., n, m).
+
+    Computed from explicit differences rather than the Gram-matrix identity:
+    GP correlation matrices need the small distances between near-coincident
+    points to full float32 precision, which the matmul form loses to
+    catastrophic cancellation (and, on TPU, to bf16 MXU passes).  XLA fuses
+    the d-reduction, so no (n, m, d) tensor is materialised."""
     if Z is None:
         Z = X
-    xx = jnp.sum(X * X, axis=-1)[..., :, None]
-    zz = jnp.sum(Z * Z, axis=-1)[..., None, :]
-    d2 = xx + zz - 2.0 * jnp.matmul(X, jnp.swapaxes(Z, -1, -2))
-    return jnp.maximum(d2, 0.0)
+    diff = X[..., :, None, :] - Z[..., None, :, :]
+    return jnp.sum(diff * diff, axis=-1)
 
 
 def k_cross(X, Z, length, name):

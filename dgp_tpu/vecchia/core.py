@@ -20,6 +20,16 @@ from ..ops import kernels as kops
 from ..ops import linalg
 
 
+def _f32_jitter(dtype):
+    """Fixed diagonal jitter for float32 Vecchia blocks.
+
+    Near-ones correlation blocks lose positive definiteness under float32
+    Cholesky; a 3e-5 diagonal floor (small against the usual 1e-4..1e-2
+    estimated nuggets, invisible in float64) keeps the batched
+    factorisations finite without a data-dependent retry loop."""
+    return 3e-5 if dtype == jnp.float32 else 0.0
+
+
 def _blocks(X, y, NNarray, length, nugget, name, nugget_diag):
     """Gather masked (n, m+1, m+1) kernel blocks in ascending order
     (self last) plus masked targets.
@@ -37,7 +47,7 @@ def _blocks(X, y, NNarray, length, nugget, name, nugget_diag):
     both = valid[:, :, None] & valid[:, None, :]
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     K = jnp.where(both, K, eye)
-    diag = jnp.where(valid, 1.0 + nug_i, 1.0)
+    diag = jnp.where(valid, 1.0 + nug_i + _f32_jitter(K.dtype), 1.0)
     K = kops.set_diag(K, diag)
     return K, yi, valid
 
@@ -74,7 +84,7 @@ def vecchia_nllik(log_theta, X, y, NNarray, nugget_diag, *, name, scale_est,
         nugget = fixed_nugget
     n = X.shape[0]
     K, yi, _ = _blocks(X, y, NNarray, length, nugget, name, nugget_diag)
-    L = linalg.safe_cholesky(K) if K.shape[0] <= 8192 else _chol_chunked(K)
+    L = _chol_chunked(K)
     Ly = linalg.tri_solve(L, yi[..., None])[..., 0]
     quad = linalg.sum64(Ly[:, -1] ** 2)
     logdet = linalg.sum64(2.0 * jnp.log(jnp.abs(L[:, -1, -1])))
@@ -152,7 +162,7 @@ def _pred_blocks(x, w_train, NNarray, y, length, nugget, nugget_diag, name):
     both = valid_full[:, :, None] & valid_full[:, None, :]
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     K = jnp.where(both, K, eye)
-    K = kops.set_diag(K, jnp.where(valid_full, 1.0 + nug, 1.0))
+    K = kops.set_diag(K, jnp.where(valid_full, 1.0 + nug + _f32_jitter(K.dtype), 1.0))
     return K, yi
 
 
@@ -180,7 +190,7 @@ def loo_gp_vecch(x, NNarray, y, scale, length, nugget, nugget_diag, name):
     both = valid[:, :, None] & valid[:, None, :]
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     K = jnp.where(both, K, eye)
-    K = kops.set_diag(K, jnp.where(valid, 1.0 + nug, 1.0))
+    K = kops.set_diag(K, jnp.where(valid, 1.0 + nug + _f32_jitter(K.dtype), 1.0))
     L = _chol_chunked(K)
     Ly = linalg.tri_solve(L[:, :-1, :-1], yi[:, :-1, None])[..., 0]
     mean = jnp.einsum('ij,ij->i', L[:, -1, :-1], Ly)
@@ -223,7 +233,7 @@ def link_gp_vecch(m, v, z, w1, global_w1, NNarray, y, scale, length, nugget,
         both = ok[:, None] & ok[None, :]
         eye = jnp.eye(K.shape[-1], dtype=K.dtype)
         K = jnp.where(both, K, eye)
-        K = kops.set_diag(K, jnp.where(ok, 1.0 + nug_i, 1.0))
+        K = kops.set_diag(K, jnp.where(ok, 1.0 + nug_i + _f32_jitter(K.dtype), 1.0))
         L = linalg.safe_cholesky(K)
         Rinv_y = linalg.cho_solve(L, yi[:, None])[:, 0]
         Rinv_J = linalg.cho_solve(L, J)
