@@ -53,9 +53,12 @@ def _blocks(X, y, NNarray, length, nugget, name, nugget_diag):
 
 
 def _chol_chunked(K, chunk=8192):
+    """Batched Cholesky of small blocks: column-unrolled and vectorised over
+    the batch (linalg.chol_small), which beats XLA's batched lowering by
+    1-2 orders of magnitude for the (n, m+1, m+1) Vecchia shapes on TPU."""
     if K.shape[0] <= chunk:
-        return jnp.linalg.cholesky(K)
-    return jax.lax.map(jnp.linalg.cholesky, K, batch_size=chunk)
+        return linalg.chol_small(K)
+    return jax.lax.map(linalg.chol_small, K, batch_size=chunk)
 
 
 def vecchia_llik(X, y, NNarray, scale, length, nugget, nugget_diag, name):
@@ -66,7 +69,7 @@ def vecchia_llik(X, y, NNarray, scale, length, nugget, nugget_diag, name):
     identical parameters, so constants cancel)."""
     K, yi, _ = _blocks(X, y, NNarray, length, nugget, name, nugget_diag)
     L = _chol_chunked(K)
-    Ly = linalg.tri_solve(L, yi[..., None])[..., 0]
+    Ly = linalg.fwd_solve_small(L, yi)
     quad = linalg.sum64(Ly[:, -1] ** 2)
     logdet = linalg.sum64(2.0 * jnp.log(jnp.abs(L[:, -1, -1])))
     return -0.5 * (logdet + quad / jnp.asarray(scale, jnp.float64))
@@ -85,7 +88,7 @@ def vecchia_nllik(log_theta, X, y, NNarray, nugget_diag, *, name, scale_est,
     n = X.shape[0]
     K, yi, _ = _blocks(X, y, NNarray, length, nugget, name, nugget_diag)
     L = _chol_chunked(K)
-    Ly = linalg.tri_solve(L, yi[..., None])[..., 0]
+    Ly = linalg.fwd_solve_small(L, yi)
     quad = linalg.sum64(Ly[:, -1] ** 2)
     logdet = linalg.sum64(2.0 * jnp.log(jnp.abs(L[:, -1, -1])))
     nugget = jnp.asarray(nugget, jnp.float64)
@@ -121,8 +124,7 @@ def cond_weights(X, NNarray, length, nugget, name, nugget_diag=None):
     # w^T = L[-1,:-1] @ inv(L[:-1,:-1])  =>  w = solve(L[:-1,:-1]^T, L[-1,:-1])
     L_nn = L[:, :-1, :-1]
     l_last = L[:, -1, :-1]
-    w = linalg.tri_solve(jnp.swapaxes(L_nn, -1, -2), l_last[..., None],
-                         lower=False)[..., 0]
+    w = linalg.bwd_solve_small(L_nn, l_last)
     sigma = L[:, -1, -1]
     rev = jnp.flip(NNarray, axis=1)
     idx_asc = jnp.where(valid, rev, 0)[:, :-1]
@@ -170,7 +172,7 @@ def gp_vecch(x, w_train, NNarray, y, scale, length, nugget, nugget_diag, name):
     """Batched Vecchia GP prediction (reference gp_vecch)."""
     K, yi = _pred_blocks(x, w_train, NNarray, y, length, nugget, nugget_diag, name)
     L = _chol_chunked(K)
-    Ly = linalg.tri_solve(L[:, :-1, :-1], yi[..., None])[..., 0]
+    Ly = linalg.fwd_solve_small(L[:, :-1, :-1], yi)
     mean = jnp.einsum('ij,ij->i', L[:, -1, :-1], Ly)
     var = scale * L[:, -1, -1] ** 2
     return mean, var
@@ -192,7 +194,7 @@ def loo_gp_vecch(x, NNarray, y, scale, length, nugget, nugget_diag, name):
     K = jnp.where(both, K, eye)
     K = kops.set_diag(K, jnp.where(valid, 1.0 + nug + _f32_jitter(K.dtype), 1.0))
     L = _chol_chunked(K)
-    Ly = linalg.tri_solve(L[:, :-1, :-1], yi[:, :-1, None])[..., 0]
+    Ly = linalg.fwd_solve_small(L[:, :-1, :-1], yi[:, :-1])
     mean = jnp.einsum('ij,ij->i', L[:, -1, :-1], Ly)
     var = scale * L[:, -1, -1] ** 2
     return mean, var
@@ -234,10 +236,13 @@ def link_gp_vecch(m, v, z, w1, global_w1, NNarray, y, scale, length, nugget,
         eye = jnp.eye(K.shape[-1], dtype=K.dtype)
         K = jnp.where(both, K, eye)
         K = kops.set_diag(K, jnp.where(ok, 1.0 + nug_i + _f32_jitter(K.dtype), 1.0))
-        L = linalg.safe_cholesky(K)
-        Rinv_y = linalg.cho_solve(L, yi[:, None])[:, 0]
-        Rinv_J = linalg.cho_solve(L, J)
-        tr = jnp.trace(Rinv_J)
+        L = linalg.chol_small(K)
+        Rinv_y = linalg.bwd_solve_small(L, linalg.fwd_solve_small(L, yi))
+        # tr(K^-1 J) = tr(L^-1 J L^-T) via two column-unrolled solves:
+        # A = (L^-1 J)^T, then diag(L^-1 J L^-T)_i = (L^-1 A^T[., i])_i
+        A = linalg.fwd_solve_small(L, J)
+        N = linalg.fwd_solve_small(L, A.T)
+        tr = jnp.trace(N)
         mu = jnp.dot(I, Rinv_y)
         var = jnp.abs(linalg.quad_form(J, Rinv_y) - mu**2
                       + scale * (1.0 + nugget - tr))
