@@ -6,8 +6,11 @@ Baseline: the reference (Numba + OpenBLAS, CPU) runs this Vecchia-SI config
 at 0.48 it/s for n=5000 (demo/vecchia_SI.ipynb cell 7).  Its per-iteration
 cost is ~linear in n (n independent m^3 blocks), giving an extrapolated
 baseline of 0.48 * 5000/2000 = 1.2 it/s at n=2000.  vs_baseline is the
-measured speedup over that.  Also reports RMSE against the noiseless truth
-as a sanity gate (prints inside the JSON line's extra fields).
+measured speedup over that.
+
+Runs in float32 on TPU (the compute path is batched (n, m+1, m+1) masked
+Cholesky + column-unrolled solves, float64 log-lik accumulation); quality is
+gated by an RMSE check against the noiseless truth, reported in the JSON.
 """
 import json
 import time
@@ -23,6 +26,9 @@ def func(x):
 
 def main():
     import jax
+    import dgp_tpu
+    if jax.default_backend() != "cpu":
+        dgp_tpu.set_default_dtype("float32")
     from dgp_tpu import dgp, kernel, combine, emulator, nb_seed
 
     nb_seed(123)
@@ -31,18 +37,17 @@ def main():
     X = rng.rand(n, 1) * 2 - 1
     Y = func(X) + 0.05 * rng.randn(n, 1)
 
-    layer1 = [kernel(length=np.array([0.5]), name='sexp')]
-    layer2 = [kernel(length=np.array([0.5]), name='sexp', nugget_est=True,
-                     scale_est=True, connect=np.arange(1))]
+    layer1 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4)]
+    layer2 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
+                     nugget_est=True, scale_est=True, connect=np.arange(1))]
     m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)
 
-    # warm-up chunk (compilation)
-    m.train(N=8, disable=True, chunk_size=8)
+    # warm-up through iteration 24 (compiles every power-of-2 chunk size)
+    m.train(N=24, disable=True, chunk_size=16)
     # timed run
-    n_iters = 100
+    n_iters = 104
     t0 = time.time()
-    m.train(N=n_iters, disable=True, chunk_size=25)
-    jax.effects_barrier()
+    m.train(N=n_iters, disable=True, chunk_size=16)
     dt = time.time() - t0
     it_s = n_iters / dt
 

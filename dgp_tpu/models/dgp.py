@@ -412,7 +412,9 @@ class dgp:
         N0 = self.N
         restarts, max_restarts = 0, 3
         while True:
-            engine = CompiledDGP(self.all_layer, self.block)
+            # reuse the imputer's compiled engine so repeated train() calls
+            # share traced/compiled programs
+            engine = self.imp._engine()
             state = engine.get_state()
             snapshots = [[] for _ in range(2)]  # para, r2 chunks
             done = 0
@@ -467,7 +469,7 @@ class dgp:
                 raise RuntimeError(f'Training failed after {max_restarts} restarts.')
             self.N = N0
             self.reinit_all_layer(reset_lengthscale=True, row=0)
-            self.imp = imputer(self.all_layer, self.block)
+            self.imp.invalidate()
             self.imp.sample(burnin=10)
 
     def _inflate_scales(self, engine, state):
