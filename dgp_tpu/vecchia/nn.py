@@ -51,11 +51,21 @@ def _nn_ordered_impl(x, m):
     return jnp.flip(jnp.sort(out, axis=1), axis=1)
 
 
+#: point count above which the host-native O(n^2/2) OpenMP search is used
+#: instead of materialising device distance tiles.
+NATIVE_NN_THRESHOLD = 32768
+
+
 def nn(x, m, method='exact', size=40, efSearch=100, n_jobs=-1):
     """Ordered nearest neighbours (reference vecchia.nn)."""
     x = np.asarray(x)
     n = x.shape[0]
     m = min(m, n - 1)
+    if n >= NATIVE_NN_THRESHOLD:
+        from .. import native
+        out = native.nn_ordered(x, int(m))
+        if out is not None:
+            return out
     return np.asarray(_nn_ordered_impl(jnp.asarray(x), int(m)))
 
 
@@ -82,4 +92,9 @@ def get_pred_nn(query, x, m=50, method='exact', size=40, efSearch=100, n_jobs=-1
     query, x = np.asarray(query), np.asarray(x)
     n = x.shape[0]
     m = int(min(m, n))
+    if len(query) * n >= NATIVE_NN_THRESHOLD ** 2:
+        from .. import native
+        out = native.pred_nn(query, x, m)
+        if out is not None:
+            return out
     return np.asarray(_pred_nn_impl(jnp.asarray(query), jnp.asarray(x), m))
