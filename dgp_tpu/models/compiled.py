@@ -422,9 +422,12 @@ class CompiledDGP:
             lt0 = jnp.log(p['length'])
 
         if sp.vecch:
+            from ..ops import pallas_vecchia as pv
+
             ns = nn_state[l][k]
             nd = w_diag if w_diag is not None else jnp.ones(Xn.shape[0], self.dtype)
             Xo, yo, ndo = Xn[ns['ord']], y[ns['ord']], nd[ns['ord']]
+            use_pallas_fg = pv.use_pallas(Xo.dtype, ns['NN'].shape[1])
 
             def obj(lt):
                 nll, scale = vcore.vecchia_nllik(
@@ -444,7 +447,20 @@ class CompiledDGP:
                                              prior_coef=prior_coef,
                                              nugget_est=sp.nugget_est, cl=cl)
                 return nll, scale
+
+            if use_pallas_fg:
+                def fg_pallas(lt):
+                    nll, g, _ = vcore.vecchia_nllik_fg(
+                        lt, Xo, yo, ns['NN'], ndo, name=sp.name,
+                        n_length=sp.n_length, scale_est=sp.scale_est,
+                        nugget_est=sp.nugget_est, fixed_scale=p['scale'],
+                        fixed_nugget=p['nugget'],
+                        n_orig=jnp.asarray(self.n_orig, self.dtype),
+                        sum_residual=sum_res, prior_name=sp.prior_name,
+                        prior_coef=prior_coef)
+                    return nll, g
         else:
+            use_pallas_fg = False
             cl = (gp_core.compute_cl(Xn, y.shape[0], sp.n_length, False)
                   if sp.prior_name == 'ref' else None)
             kw = dict(name=sp.name, n_length=sp.n_length, scale_est=sp.scale_est,
@@ -456,9 +472,12 @@ class CompiledDGP:
             def obj(lt):
                 return gp_core.neg_log_lik(lt, Xn, y, **kw)
 
-        def fg(lt):
-            (nll, _), g = jax.value_and_grad(obj, has_aux=True)(lt)
-            return nll, g
+        if use_pallas_fg:
+            fg = fg_pallas
+        else:
+            def fg(lt):
+                (nll, _), g = jax.value_and_grad(obj, has_aux=True)(lt)
+                return nll, g
 
         lb, ub, has_bounds = self._node_bounds(sp)
         maxfun = int(max(30, 20 + 5 * sp.D))

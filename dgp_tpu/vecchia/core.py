@@ -66,7 +66,19 @@ def vecchia_llik(X, y, NNarray, scale, length, nugget, nugget_diag, name):
 
     Note: as in the reference, the scale enters only through quad/scale (the
     parameter-constant normalisation is dropped -- ESS compares candidates at
-    identical parameters, so constants cancel)."""
+    identical parameters, so constants cancel).
+
+    On TPU/float32 the per-block pipeline runs as one fused Pallas kernel
+    (ops.pallas_vecchia); elsewhere as batched XLA ops."""
+    from ..ops import pallas_vecchia as pv
+
+    if pv.use_pallas(X.dtype, NNarray.shape[1]):
+        Xg, yg, diag = pv.gather_blocks(X, y, NNarray, length, nugget,
+                                        nugget_diag, _f32_jitter(X.dtype))
+        logdet_i, quad_i = pv.block_loglik_parts(Xg, yg, diag, name=name)
+        quad = linalg.sum64(quad_i)
+        logdet = linalg.sum64(logdet_i)
+        return -0.5 * (logdet + quad / jnp.asarray(scale, jnp.float64))
     K, yi, _ = _blocks(X, y, NNarray, length, nugget, name, nugget_diag)
     L = _chol_chunked(K)
     Ly = linalg.fwd_solve_small(L, yi)
@@ -108,6 +120,75 @@ def vecchia_nllik(log_theta, X, y, NNarray, nugget_diag, *, name, scale_est,
         if has_rep and nugget_est:
             nllik += 0.5 * (sum_residual / (scale * nugget) + (N - n) * jnp.log(nugget))
     return nllik, scale
+
+
+def vecchia_nllik_fg(log_theta, X, y, NNarray, nugget_diag, *, name, n_length,
+                     scale_est, nugget_est, fixed_scale, fixed_nugget, n_orig,
+                     sum_residual, prior_name=None, prior_coef=None):
+    """Profiled Vecchia negative log-lik AND its gradient w.r.t. log-params,
+    through the fused Pallas kernel with the reference's analytic gradient
+    (dgpsi/vecchia.py:182-242).  Returns (nll, grad, scale).
+
+    Only used on the Pallas path; the XLA path differentiates vecchia_nllik
+    by autodiff."""
+    from ..ops import pallas_vecchia as pv
+    from .. import gp_core
+
+    if nugget_est:
+        length = jnp.exp(log_theta[:-1])
+        nugget = jnp.exp(log_theta[-1])
+    else:
+        length = jnp.exp(log_theta)
+        nugget = fixed_nugget
+    n = X.shape[0]
+    Xg, yg, diag = pv.gather_blocks(X, y, NNarray, length, nugget, nugget_diag,
+                                    _f32_jitter(X.dtype))
+    rev = jnp.flip(NNarray, axis=1)
+    valid = rev >= 0
+    safe = jnp.where(valid, rev, 0)
+    dnug = jnp.where(valid, nugget * nugget_diag[safe], 0.0)
+    logdet_i, quad_i, dlogdet_i, dquad_i = pv.block_nllik_grad_parts(
+        Xg, yg, diag, dnug, name=name, n_length=n_length, nugget_est=nugget_est)
+    quad = linalg.sum64(quad_i)
+    logdet = linalg.sum64(logdet_i)
+    dquad = linalg.sum64(dquad_i, axis=1)
+    dlogdet = linalg.sum64(dlogdet_i, axis=1)
+    nugget64 = jnp.asarray(nugget, jnp.float64)
+    has_rep = sum_residual is not None
+    N = n_orig if has_rep else n
+    if scale_est:
+        if has_rep:
+            scale = (quad + sum_residual / nugget64) / N
+        else:
+            scale = quad / n
+        nll = 0.5 * (logdet + N * jnp.log(scale))
+        g = 0.5 * (dlogdet - dquad / scale)
+        if has_rep and nugget_est:
+            nll += 0.5 * (N - n) * jnp.log(nugget64)
+            g = g.at[-1].add(0.5 * (-sum_residual / (scale * nugget64) + (N - n)))
+    else:
+        scale = jnp.asarray(fixed_scale, jnp.float64)
+        nll = 0.5 * (logdet + quad / scale)
+        g = 0.5 * (dlogdet - dquad / scale)
+        if has_rep and nugget_est:
+            nll += 0.5 * (sum_residual / (scale * nugget64) + (N - n) * jnp.log(nugget64))
+            g = g.at[-1].add(0.5 * (-sum_residual / (scale * nugget64) + (N - n)))
+    if prior_name is not None:
+        def neg_log_prior(lt):
+            if nugget_est:
+                ln, nu = jnp.exp(lt[:-1]), jnp.exp(lt[-1])
+            else:
+                ln, nu = jnp.exp(lt), fixed_nugget
+            cl = (gp_core.compute_cl(X, X.shape[0], n_length, True)
+                  if prior_name == 'ref' else None)
+            return -gp_core.log_prior(ln, nu, prior_name=prior_name,
+                                      prior_coef=prior_coef,
+                                      nugget_est=nugget_est, cl=cl)
+
+        pv_val, pv_grad = jax.value_and_grad(neg_log_prior)(log_theta)
+        nll = nll + pv_val
+        g = g + pv_grad
+    return nll, g.astype(log_theta.dtype), scale
 
 
 def cond_weights(X, NNarray, length, nugget, name, nugget_diag=None):
