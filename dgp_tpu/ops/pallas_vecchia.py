@@ -30,6 +30,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 SQRT5 = 2.23606797749978969
 _SLAB = 1024
+# the gradient kernel holds ~2x the live temporaries; smaller slabs keep the
+# scoped VMEM stack under the 16MB limit
+_GRAD_SLAB = 256
 
 
 def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
@@ -290,14 +293,14 @@ def _grad_slab_call(name, m1, d, n_length, nugget_est, dtype):
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_shape=[
-                jax.ShapeDtypeStruct((1, _SLAB), dtype),
-                jax.ShapeDtypeStruct((1, _SLAB), dtype),
-                jax.ShapeDtypeStruct((n_par, _SLAB), dtype),
-                jax.ShapeDtypeStruct((n_par, _SLAB), dtype),
+                jax.ShapeDtypeStruct((1, _GRAD_SLAB), dtype),
+                jax.ShapeDtypeStruct((1, _GRAD_SLAB), dtype),
+                jax.ShapeDtypeStruct((n_par, _GRAD_SLAB), dtype),
+                jax.ShapeDtypeStruct((n_par, _GRAD_SLAB), dtype),
             ],
             scratch_shapes=[
-                pltpu.VMEM((m1, m1, _SLAB), dtype),
-                pltpu.VMEM((m1, m1, _SLAB), dtype),
+                pltpu.VMEM((m1, m1, _GRAD_SLAB), dtype),
+                pltpu.VMEM((m1, m1, _GRAD_SLAB), dtype),
             ],
             interpret=jax.default_backend() != "tpu",
         )(Xt, yt, dt_, dn_)
@@ -311,7 +314,7 @@ def block_nllik_grad_parts(Xg, yg, diag, dnug, *, name, n_length, nugget_est):
     Returns (logdet (n,), quad (n,), dlogdet (p, n), dquad (p, n))."""
     n, m1, d = Xg.shape
     n_par = n_length + (1 if nugget_est else 0)
-    n_pad = ((n + _SLAB - 1) // _SLAB) * _SLAB
+    n_pad = ((n + _GRAD_SLAB - 1) // _GRAD_SLAB) * _GRAD_SLAB
     if n_pad != n:
         pad = n_pad - n
         sent = (1e7 + jnp.arange(pad, dtype=Xg.dtype)[:, None] * 1e3
@@ -321,11 +324,11 @@ def block_nllik_grad_parts(Xg, yg, diag, dnug, *, name, n_length, nugget_est):
         diag = jnp.concatenate([diag, jnp.ones((pad, m1), diag.dtype)], axis=0)
         dnug = jnp.concatenate([dnug, jnp.zeros((pad, m1), dnug.dtype)], axis=0)
 
-    S = n_pad // _SLAB
-    Xt = Xg.reshape(S, _SLAB, m1, d).transpose(0, 2, 3, 1)
-    yt = yg.reshape(S, _SLAB, m1).transpose(0, 2, 1)
-    dt_ = diag.reshape(S, _SLAB, m1).transpose(0, 2, 1)
-    dn_ = dnug.reshape(S, _SLAB, m1).transpose(0, 2, 1)
+    S = n_pad // _GRAD_SLAB
+    Xt = Xg.reshape(S, _GRAD_SLAB, m1, d).transpose(0, 2, 3, 1)
+    yt = yg.reshape(S, _GRAD_SLAB, m1).transpose(0, 2, 1)
+    dt_ = diag.reshape(S, _GRAD_SLAB, m1).transpose(0, 2, 1)
+    dn_ = dnug.reshape(S, _GRAD_SLAB, m1).transpose(0, 2, 1)
 
     call = _grad_slab_call(name, m1, d, n_length, nugget_est, Xg.dtype)
     if S == 1:
