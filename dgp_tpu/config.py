@@ -32,3 +32,8 @@ def default_dtype():
 #: multiples of mean(diag) tried (in order) when a Cholesky factorisation
 #: produces non-finite values.
 CHOLESKY_JITTERS = (0.0, 1e-12, 1e-10, 1e-8, 1e-6, 1e-4)
+
+#: speculative candidates evaluated per ESS rejection-loop launch (the
+#: bracket recursion is deterministic under rejection, so K candidates can
+#: be checked in one batched likelihood evaluation; see dgp_tpu/ess.py).
+ESS_SPEC = 4

@@ -153,8 +153,11 @@ class CompiledDGP:
             lay = []
             for node, sp in zip(layer, specs):
                 if sp.kind == 'gp' and sp.vecch:
-                    lay.append({'ord': jnp.asarray(node.ord, jnp.int32),
-                                'NN': jnp.asarray(node.NNarray, jnp.int32)})
+                    d = {'ord': jnp.asarray(node.ord, jnp.int32),
+                         'NN': jnp.asarray(node.NNarray, jnp.int32)}
+                    if getattr(node, 'imp_NNarray', None) is not None:
+                        d['impNN'] = jnp.asarray(node.imp_NNarray, jnp.int32)
+                    lay.append(d)
                 else:
                     lay.append(None)
             out.append(tuple(lay))
@@ -265,12 +268,7 @@ class CompiledDGP:
                 Xn[ns['ord']], ns['NN'], p['length'], p['nugget'], sp.name)
             eps = (jax.random.normal(key, (S, n), self.dtype)
                    * jnp.sqrt(p['scale']) * sigma[None, :])
-
-            def body(i, xbuf):
-                xi = xbuf[:, idx_asc[i]] @ w[i] + eps[:, i]
-                return xbuf.at[:, i].set(xi)
-
-            samp = jax.lax.fori_loop(0, n, body, jnp.zeros((S, n), self.dtype))
+            samp = vcore.ancestral_sample(eps, w, idx_asc)
             rev_ord = jnp.argsort(ns['ord'])
             return samp[:, rev_ord]
         K = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
@@ -294,7 +292,7 @@ class CompiledDGP:
             lat2 = latents[:l] + (fp,) + latents[l + 1:]
             return self._upper_loglik(l, lat2, params, nn_state)
 
-        f_new = ess_update(k_ess, f, nu, log_lik)
+        f_new = ess_update(k_ess, f, nu, log_lik, spec=config.ESS_SPEC)
         return latents[:l] + (f_new,) + latents[l + 1:]
 
     # -- Hetero exact conditional posterior ----------------------------
@@ -331,21 +329,40 @@ class CompiledDGP:
                 usp = linked[0][1]
                 idx = list(usp.input_dim).index(k)
                 if idx in list(np.atleast_1d(usp.exact_post_idx)):
-                    # Exact Gibbs draw for the Hetero mean.  Under Vecchia the
-                    # reference uses a sparse 2n x n factor (U_matrix_sp); here
-                    # the dense exact posterior is used for both modes (same
-                    # distribution; dense cost).
+                    # Exact Gibbs draw for the Hetero mean: batched sparse
+                    # stacked-Vecchia sampler (reference U_matrix_sp path)
+                    # when the node is in Vecchia mode, dense otherwise.
                     Xn = self._node_input(l, k, latents)
-                    v = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
                     logvar_col = usp.input_dim[1]
-                    if usp.has_rep:
-                        Gamma = jnp.exp(latents[l][self.rep][:, logvar_col])
-                        y = self.y_lik[linked[0][0]][:, 0]
-                        f = self._post_het(v, Gamma, y, keys[k], self.rep)
+                    y = self.y_lik[linked[0][0]][:, 0]
+                    ns = nn_state[l][k]
+                    if sp.vecch and ns is not None and 'impNN' in ns:
+                        n = Xn.shape[0]
+                        if usp.has_rep:
+                            invG = jnp.exp(-latents[l][self.rep][:, logvar_col])
+                            d = 1.0 / jax.ops.segment_sum(invG, self.rep,
+                                                          num_segments=n)
+                            y_eff = d * jax.ops.segment_sum(invG * y, self.rep,
+                                                            num_segments=n)
+                            Gamma = d
+                        else:
+                            Gamma = jnp.exp(latents[l][:, logvar_col])
+                            y_eff = y
+                        ordv = ns['ord']
+                        f_ord = vcore.post_het_vecch(
+                            keys[k], Xn[ordv], ns['impNN'], Gamma[ordv],
+                            y_eff[ordv], p['scale'], p['length'], p['nugget'],
+                            sp.name)
+                        f = f_ord[jnp.argsort(ordv)]
                     else:
-                        Gamma = jnp.exp(latents[l][:, logvar_col])
-                        y = self.y_lik[linked[0][0]][:, 0]
-                        f = self._post_het(v, Gamma, y, keys[k], None)
+                        v = p['scale'] * kops.k_matrix(Xn, p['length'],
+                                                       p['nugget'], sp.name)
+                        if usp.has_rep:
+                            Gamma = jnp.exp(latents[l][self.rep][:, logvar_col])
+                            f = self._post_het(v, Gamma, y, keys[k], self.rep)
+                        else:
+                            Gamma = jnp.exp(latents[l][:, logvar_col])
+                            f = self._post_het(v, Gamma, y, keys[k], None)
                     latents = latents[:l] + (latents[l].at[:, k].set(f),) + latents[l + 1:]
                     continue
             k_nu, k_ess = jax.random.split(keys[k])
@@ -365,7 +382,7 @@ class CompiledDGP:
                         total = total + self._lik_loglik(j, lat2)
                 return total
 
-            f_new = ess_update(k_ess, f, nu, log_lik)
+            f_new = ess_update(k_ess, f, nu, log_lik, spec=config.ESS_SPEC)
             latents = latents[:l] + (latents[l].at[:, k].set(f_new),) + latents[l + 1:]
         return latents
 
@@ -406,99 +423,11 @@ class CompiledDGP:
         return latents
 
     # -- M-step ---------------------------------------------------------
-    def _m_step_node(self, l, k, latents, params, nn_state):
-        sp = self.spec[l][k]
-        p = params[l][k]
-        Xn = self._node_input(l, k, latents)
-        y = self.y_final[k] if sp.is_final else latents[l][:, k]
-        w_diag = self.w_diag[k] if (sp.is_final and sp.has_rep) else None
-        sum_res = self.sum_res[k] if (sp.is_final and sp.has_rep) else None
-        prior_coef = (jnp.asarray(sp.prior_coef, self.dtype)
-                      if sp.prior_coef is not None else None)
-
-        if sp.nugget_est:
-            lt0 = jnp.concatenate([jnp.log(p['length']), jnp.log(p['nugget'])[None]])
-        else:
-            lt0 = jnp.log(p['length'])
-
-        if sp.vecch:
-            from ..ops import pallas_vecchia as pv
-
-            ns = nn_state[l][k]
-            nd = w_diag if w_diag is not None else jnp.ones(Xn.shape[0], self.dtype)
-            Xo, yo, ndo = Xn[ns['ord']], y[ns['ord']], nd[ns['ord']]
-            use_pallas_fg = pv.use_pallas(Xo.dtype, ns['NN'].shape[1])
-
-            def obj(lt):
-                nll, scale = vcore.vecchia_nllik(
-                    lt, Xo, yo, ns['NN'], ndo, name=sp.name,
-                    scale_est=sp.scale_est, nugget_est=sp.nugget_est,
-                    fixed_scale=p['scale'], fixed_nugget=p['nugget'],
-                    n_orig=jnp.asarray(self.n_orig, self.dtype),
-                    sum_residual=sum_res)
-                if sp.prior_name is not None:
-                    if sp.nugget_est:
-                        length, nugget = jnp.exp(lt[:-1]), jnp.exp(lt[-1])
-                    else:
-                        length, nugget = jnp.exp(lt), p['nugget']
-                    cl = (gp_core.compute_cl(Xn, Xn.shape[0], sp.n_length, True)
-                          if sp.prior_name == 'ref' else None)
-                    nll -= gp_core.log_prior(length, nugget, prior_name=sp.prior_name,
-                                             prior_coef=prior_coef,
-                                             nugget_est=sp.nugget_est, cl=cl)
-                return nll, scale
-
-            if use_pallas_fg:
-                def fg_pallas(lt):
-                    nll, g, _ = vcore.vecchia_nllik_fg(
-                        lt, Xo, yo, ns['NN'], ndo, name=sp.name,
-                        n_length=sp.n_length, scale_est=sp.scale_est,
-                        nugget_est=sp.nugget_est, fixed_scale=p['scale'],
-                        fixed_nugget=p['nugget'],
-                        n_orig=jnp.asarray(self.n_orig, self.dtype),
-                        sum_residual=sum_res, prior_name=sp.prior_name,
-                        prior_coef=prior_coef)
-                    return nll, g
-        else:
-            use_pallas_fg = False
-            cl = (gp_core.compute_cl(Xn, y.shape[0], sp.n_length, False)
-                  if sp.prior_name == 'ref' else None)
-            kw = dict(name=sp.name, n_length=sp.n_length, scale_est=sp.scale_est,
-                      nugget_est=sp.nugget_est, fixed_scale=p['scale'],
-                      fixed_nugget=p['nugget'], prior_name=sp.prior_name,
-                      prior_coef=prior_coef, w_diag=w_diag, sum_residual=sum_res,
-                      n_orig=jnp.asarray(self.n_orig, self.dtype), cl=cl)
-
-            def obj(lt):
-                return gp_core.neg_log_lik(lt, Xn, y, **kw)
-
-        if use_pallas_fg:
-            fg = fg_pallas
-        else:
-            def fg(lt):
-                (nll, _), g = jax.value_and_grad(obj, has_aux=True)(lt)
-                return nll, g
-
-        lb, ub, has_bounds = self._node_bounds(sp)
-        maxfun = int(max(30, 20 + 5 * sp.D))
-        lt, _, _ = lbfgs.minimize(fg, lt0,
-                                  lb if has_bounds else None,
-                                  ub if has_bounds else None,
-                                  maxiter=100, maxfun=maxfun)
-        _, scale = obj(lt)
-        scale = jnp.asarray(scale, p['scale'].dtype)  # f64 accumulation -> state dtype
-        ok = jnp.all(jnp.isfinite(lt)) & jnp.isfinite(scale)
-        lt = jnp.where(ok, lt, lt0)
-        scale = jnp.where(ok & jnp.asarray(sp.scale_est), scale, p['scale'])
-        if sp.nugget_est:
-            return {'length': jnp.exp(lt[:-1]), 'nugget': jnp.exp(lt[-1]), 'scale': scale}
-        return {'length': jnp.exp(lt), 'nugget': p['nugget'], 'scale': scale}
-
-    def _node_bounds(self, sp):
-        p = sp.n_length + (1 if sp.nugget_est else 0)
+    def _node_bounds(self, sp, p_max):
         big = float(np.finfo(np.dtype(self.dtype)).max / 4)
-        lb = np.full(p, -big)
-        ub = np.full(p, big)
+        p_k = sp.n_length + (1 if sp.nugget_est else 0)
+        lb = np.full(p_max, -big)
+        ub = np.full(p_max, big)
         n_len = sp.n_length
         if sp.bds is not None:
             lb[:n_len] = np.log(sp.bds[0]) if sp.bds[0] > 0 else -big
@@ -506,19 +435,139 @@ class CompiledDGP:
         elif sp.prior_name == 'ref':
             ub[:n_len] = 13.0
         if sp.nugget_est:
-            lb[-1] = np.log(1e-8)
-        has_bounds = np.any(lb > -big) or np.any(ub < big)
-        return jnp.asarray(lb, self.dtype), jnp.asarray(ub, self.dtype), bool(has_bounds)
+            lb[p_k - 1] = np.log(1e-8)
+            ub[p_k - 1] = big
+        lb[p_k:] = 0.0  # frozen padded lanes
+        ub[p_k:] = 0.0
+        return jnp.asarray(lb, self.dtype), jnp.asarray(ub, self.dtype)
+
+    def _node_operands(self, l, k, sp, latents, params, nn_state, d_max, p_max,
+                       mode):
+        """Stackable operands for one GP node in the batched M-step."""
+        dt = self.dtype
+        p = params[l][k]
+        Xn = self._node_input(l, k, latents)
+        d_k = Xn.shape[1]
+        y = self.y_final[k] if sp.is_final else latents[l][:, k]
+        w_diag = self.w_diag[k] if (sp.is_final and sp.has_rep) else None
+        sum_res = self.sum_res[k] if (sp.is_final and sp.has_rep) else None
+        n = Xn.shape[0]
+        p_k = sp.n_length + (1 if sp.nugget_est else 0)
+
+        # tying matrix: node params (p_max) -> full lanes (d_max lengths + nugget)
+        A = np.zeros((d_max + 1, p_max), dt)
+        if sp.n_length == 1:
+            A[:d_k, 0] = 1.0
+        else:
+            for t in range(sp.n_length):
+                A[t, t] = 1.0
+        if sp.nugget_est:
+            A[d_max, sp.n_length] = 1.0
+        b = jnp.zeros(d_max + 1, dt)
+        if not sp.nugget_est:
+            b = b.at[-1].set(jnp.log(p['nugget']))
+        param_mask = np.zeros(p_max, dt)
+        param_mask[:p_k] = 1.0
+
+        pid = {'ga': 1, 'inv_ga': 2, 'ref': 3}.get(sp.prior_name, 0)
+        prior_coef = (jnp.asarray(sp.prior_coef, dt) if sp.prior_coef is not None
+                      else jnp.zeros(2, dt))
+        cl = jnp.zeros(d_max, dt)
+        if sp.prior_name == 'ref':
+            cl_node = gp_core.compute_cl(Xn, n, sp.n_length, sp.vecch)
+            cl = cl.at[:cl_node.shape[0]].set(cl_node.astype(dt))
+
+        if d_k < d_max:
+            Xn = jnp.pad(Xn, ((0, 0), (0, d_max - d_k)))
+
+        op = {
+            'A': jnp.asarray(A), 'b': b, 'param_mask': jnp.asarray(param_mask),
+            'prior_id': jnp.asarray(pid, jnp.int32), 'prior_coef': prior_coef,
+            'cl': cl,
+            'scale_est': jnp.asarray(sp.scale_est),
+            'nug_est_f': jnp.asarray(1.0 if sp.nugget_est else 0.0, jnp.float64),
+            'sum_res': (jnp.asarray(sum_res, jnp.float64) if sum_res is not None
+                        else jnp.asarray(0.0, jnp.float64)),
+            'n_orig': jnp.asarray(self.n_orig if sum_res is not None else float(n),
+                                  jnp.float64),
+            'fixed_scale64': jnp.asarray(p['scale'], jnp.float64),
+        }
+        nd = w_diag if w_diag is not None else jnp.ones(n, dt)
+        if mode == 'vecch':
+            from ..ops import pallas_vecchia as pv
+            ns = nn_state[l][k]
+            Xg_raw, yg, nug_g, valid = pv.gather_raw_t(
+                Xn[ns['ord']], y[ns['ord']], ns['NN'], nd[ns['ord']])
+            op.update(Xg_raw=Xg_raw, yg=yg, nug_g=nug_g, valid=valid)
+        else:
+            op.update(X=Xn, y=y, w_diag=nd)
+
+        if sp.nugget_est:
+            lt0 = jnp.concatenate([jnp.log(p['length']), jnp.log(p['nugget'])[None]])
+        else:
+            lt0 = jnp.log(p['length'])
+        lt0 = jnp.pad(lt0, (0, p_max - p_k))
+        lb, ub = self._node_bounds(sp, p_max)
+        maxfun = jnp.asarray(max(30, 20 + 5 * sp.D), jnp.int32)
+        return op, lt0, lb, ub, maxfun
 
     def _m_step(self, latents, params, nn_state):
+        from . import mstep
+        from ..ops import pallas_vecchia as pv
+
+        entries = [(l, k, sp)
+                   for l, layer in enumerate(self.spec)
+                   for k, sp in enumerate(layer) if sp.kind == 'gp']
+        groups = {}
+        for e in entries:
+            l, k, sp = e
+            m1 = nn_state[l][k]['NN'].shape[1] if sp.vecch else 0
+            key = ('vecch' if sp.vecch else 'dense', sp.name, m1)
+            groups.setdefault(key, []).append(e)
+
+        results = {}
+        for (mode, name, _m1), es in groups.items():
+            d_max = max(self._node_input(l, k, latents).shape[1]
+                        for l, k, _ in es)
+            p_max = max(sp.n_length + (1 if sp.nugget_est else 0)
+                        for _, _, sp in es)
+            built = [self._node_operands(l, k, sp, latents, params, nn_state,
+                                         d_max, p_max, mode)
+                     for l, k, sp in es]
+            ops = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         *[b[0] for b in built])
+            lt0 = jnp.stack([b[1] for b in built])
+            lb = jnp.stack([b[2] for b in built])
+            ub = jnp.stack([b[3] for b in built])
+            mf = jnp.stack([b[4] for b in built])
+            use_pl = (mode == 'vecch'
+                      and pv.use_pallas(jnp.dtype(self.dtype),
+                                        built[0][0]['yg'].shape[0]))
+            lt, scale, ok = mstep.run_group(
+                ops, lt0, lb, ub, mf, name=name, mode=mode, d_max=d_max,
+                n=self.n, use_pallas=use_pl)
+            for i, (l, k, sp) in enumerate(es):
+                results[(l, k)] = (lt[i], scale[i], ok[i], lt0[i])
+
         new_params = []
         for l in range(self.n_layer):
             layer_p = []
             for k, sp in enumerate(self.spec[l]):
-                if sp.kind == 'gp':
-                    layer_p.append(self._m_step_node(l, k, latents, params, nn_state))
-                else:
+                if sp.kind != 'gp':
                     layer_p.append(None)
+                    continue
+                p = params[l][k]
+                lt, scale, ok, lt0 = results[(l, k)]
+                scale = jnp.asarray(scale, p['scale'].dtype)
+                lt = jnp.where(ok, lt, lt0)
+                scale = jnp.where(ok & jnp.asarray(sp.scale_est), scale, p['scale'])
+                if sp.nugget_est:
+                    layer_p.append({'length': jnp.exp(lt[:sp.n_length]),
+                                    'nugget': jnp.exp(lt[sp.n_length]),
+                                    'scale': scale})
+                else:
+                    layer_p.append({'length': jnp.exp(lt[:sp.n_length]),
+                                    'nugget': p['nugget'], 'scale': scale})
             new_params.append(tuple(layer_p))
         return tuple(new_params)
 

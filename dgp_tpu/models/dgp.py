@@ -63,7 +63,10 @@ class dgp:
             self.X = X
         self.vecch = vecchia
         self.n_data = self.X.shape[0]
-        self.nn_method = 'exact'
+        # device-side IVF approximate NN once exact O(n^2) tiles stop being
+        # free (the reference leaves this switch commented out, dgp.py:99-102;
+        # with the recall-tested IVF path it is on by default at scale)
+        self.nn_method = 'exact' if self.n_data < 50_000 else 'approx'
         self.m = min(m, self.n_data - 1)
         self.ord_fun = ord_fun
         if all_layer is None:
@@ -383,9 +386,38 @@ class dgp:
                     node.para_path = np.atleast_2d(
                         np.concatenate((node.scale, node.length, node.nugget)))
                     if node.vecch:
-                        node.ord_nn()
+                        self._wire_vecchia_node(l, k, node, layer)
             if l != self.n_layer - 1:
                 In = Out.copy()
+
+    def _wire_vecchia_node(self, l, k, node, layer):
+        """Vecchia ordering/NN for one node: builds the Hetero exact-posterior
+        imp structure (pointer=True) when this node feeds an exact-posterior
+        likelihood, and reuses the ordering of an earlier same-wiring node
+        (reference dgp.py:632-663)."""
+        compute_pointer = False
+        if l == self.n_layer - 2:
+            nxt = self.all_layer[l + 1]
+            linked = [nd for nd in nxt
+                      if nd.input_dim is None or k in np.atleast_1d(nd.input_dim)]
+            if (len(linked) == 1 and linked[0].type == 'likelihood'
+                    and linked[0].exact_post_idx is not None):
+                idx = (np.where(np.atleast_1d(linked[0].input_dim) == k)[0]
+                       if linked[0].input_dim is not None else np.array([k]))
+                if idx.size and idx[0] in np.atleast_1d(linked[0].exact_post_idx):
+                    compute_pointer = True
+        for j in range(k):
+            prev = layer[j]
+            same_scale = ((len(node.length) == 1 and prev.type == 'gp'
+                           and len(prev.length) == 1)
+                          or np.array_equal(node.length, prev.length))
+            if (prev.type == 'gp' and prev.vecch and same_scale
+                    and np.array_equal(node.input_dim, prev.input_dim)
+                    and np.array_equal(node.connect, prev.connect)):
+                node.ord_nn(ord=prev.ord.copy(), NNarray=prev.NNarray.copy(),
+                            pointer=compute_pointer)
+                return
+        node.ord_nn(pointer=compute_pointer)
 
     # ------------------------------------------------------------------
     # training
@@ -453,7 +485,13 @@ class dgp:
                     pgb.update(this)
                     first_chunk = False
                     g = N0 + done
-                    if self.vecch and g > 1 and (g & (g - 1)) == 0 and done < N:
+                    # Reference refresh schedule (dgp.py:1388-1389): re-order
+                    # NN at every power-of-2 global iteration.  The reference
+                    # refreshes between that iteration's I- and M-step; the
+                    # compiled chunks place it at the iteration boundary (half
+                    # an iteration later), including at the end of a train()
+                    # call so a later call continues on schedule.
+                    if self.vecch and g > 1 and (g & (g - 1)) == 0:
                         engine.set_state(state)
                         self.imp.update_ord_nn()
                         state = engine.get_state()
@@ -584,6 +622,41 @@ class dgp:
     # ------------------------------------------------------------------
     # data refresh
     # ------------------------------------------------------------------
+    def update_all_layer(self, all_layer):
+        """Swap in an externally supplied (e.g. separately trained) DGP
+        structure with its hyper-parameters and latent values, and reset the
+        training state (reference dgp.py:760-823)."""
+        self.all_layer = all_layer
+        self.n_layer = len(all_layer)
+        for l, layer in enumerate(self.all_layer):
+            for k, node in enumerate(layer):
+                if (l == self.n_layer - 1
+                        and getattr(node, 'rep', None) is not None):
+                    self.indices = node.rep
+                if node.type != 'gp':
+                    continue
+                node.para_path = np.atleast_2d(
+                    np.concatenate((node.scale, node.length, node.nugget)))
+                node.D = node.input.shape[1]
+                if node.connect is not None:
+                    node.D += len(node.connect)
+                if node.vecch:
+                    self._wire_vecchia_node(l, k, node, layer)
+                if node.prior_name == 'ref':
+                    p = node.input.shape[1]
+                    if node.global_input is not None:
+                        p += node.global_input.shape[1]
+                    node.prior_coef[1] = (1 / len(node.output) ** (1 / p)
+                                          * (node.prior_coef[0] + p))
+                    node.compute_cl()
+        self.vecch = any(node.type == 'gp' and node.vecch
+                         for layer in self.all_layer for node in layer)
+        self.imp = imputer(self.all_layer, self.block)
+        self.imp.sample(burnin=10)
+        self.compute_r2()
+        self.N = 0
+        self.burnin = None
+
     def reinit_all_layer(self, reset_lengthscale, row=0):
         """Re-initialise latents (and optionally hyper-params) keeping the
         structure (dgp.py:1097)."""

@@ -12,7 +12,6 @@ from contextlib import contextmanager
 import numpy as np
 
 from .. import config
-from ..parallel.mesh import sharded_chunk_map
 from .imputation import imputer
 
 
@@ -101,7 +100,7 @@ class emulator:
 
     # ------------------------------------------------------------------
     def predict(self, x, method='mean_var', full_layer=False, sample_size=50,
-                m=50, aggregation=True):
+                m=50, aggregation=True, sharded=False):
         """Predict through the imputation ensemble (emulation.py:631)."""
         if x.ndim == 1:
             raise Exception('The testing input has to be a numpy 2d-array')
@@ -116,7 +115,8 @@ class emulator:
         likelihood_mean, likelihood_variance = [], []
         for one_imputed in self.all_layer_set:
             layer_means, layer_vars = self._propagate_generic(one_imputed, x, m,
-                                                              upto=self.n_layer - 1)
+                                                              upto=self.n_layer - 1,
+                                                              sharded=sharded)
             in_mean, in_var = layer_means[-1], layer_vars[-1]
             # final layer: must come from THIS imputation's copy
             final_imp = one_imputed[-1]
@@ -132,7 +132,8 @@ class emulator:
                     node.pred_m = m
                     z_in = x[:, node.connect] if node.connect is not None else None
                     mk, vk = node.linkgp_prediction(
-                        m=in_mean[:, node.input_dim], v=in_var[:, node.input_dim], z=z_in)
+                        m=in_mean[:, node.input_dim], v=in_var[:, node.input_dim],
+                        z=z_in, sharded=sharded)
                     lik_mean[:, k], lik_var[:, k] = mk, vk
                 else:
                     m_in = in_mean[:, node.input_dim]
@@ -242,19 +243,11 @@ class emulator:
 
     def ppredict(self, x, method='mean_var', full_layer=False, sample_size=50,
                  m=50, chunk_num=None, core_num=None):
-        """Chunked prediction over the device mesh (emulation.py:578)."""
-        if full_layer:
-            # layered outputs do not concatenate trivially; fall through serially
-            return self.predict(x, method=method, full_layer=True,
-                                sample_size=sample_size, m=m)
-        res = sharded_chunk_map(
-            lambda xc: self.predict(xc, method=method, sample_size=sample_size, m=m),
-            x, chunk_num=chunk_num,
-            method='mean_var' if method == 'mean_var' else 'raw')
-        if method == 'mean_var':
-            return res
-        # sampling: res is a list of per-chunk lists of per-output arrays
-        return [np.concatenate(parts) for parts in zip(*res)]
+        """Parallel prediction: every per-layer prediction program runs with
+        the test rows sharded across the device mesh (GSPMD data parallelism,
+        replacing the reference's process-pool chunking, emulation.py:578)."""
+        return self.predict(x, method=method, full_layer=full_layer,
+                            sample_size=sample_size, m=m, sharded=True)
 
     # ------------------------------------------------------------------
     def nllik(self, x, y, m=50):
@@ -381,7 +374,7 @@ class emulator:
             var_set.append(out_var)
         return bias_set, var_set
 
-    def _propagate_generic(self, one_imputed, x, m, upto):
+    def _propagate_generic(self, one_imputed, x, m, upto, sharded=False):
         """Propagate through GP layers 0..upto-1, collecting per-layer outputs."""
         means, variances = [], []
         in_mean = in_var = None
@@ -393,10 +386,12 @@ class emulator:
                 node.pred_m = m
                 z_in = x[:, node.connect] if node.connect is not None else None
                 if l == 0:
-                    mk, vk = node.gp_prediction(x=x[:, node.input_dim], z=z_in)
+                    mk, vk = node.gp_prediction(x=x[:, node.input_dim], z=z_in,
+                                                sharded=sharded)
                 else:
                     mk, vk = node.linkgp_prediction(m=in_mean[:, node.input_dim],
-                                                    v=in_var[:, node.input_dim], z=z_in)
+                                                    v=in_var[:, node.input_dim],
+                                                    z=z_in, sharded=sharded)
                 out_mean[:, k], out_var[:, k] = mk, vk
             in_mean, in_var = out_mean, out_var
             means.append(out_mean)
@@ -404,15 +399,26 @@ class emulator:
         return means, variances
 
 
-def _ghdiag(fct, mu, var, y):
-    """Diagonal Gauss-Hermite quadrature of a predicted likelihood
-    (functions.ghdiag)."""
-    import itertools
-    x, w = np.polynomial.hermite.hermgauss(10)
-    N = np.shape(mu)[1]
-    const = np.pi ** (-0.5 * N)
-    xn = np.array(list(itertools.product(*(x,) * N)))
-    wn = np.prod(np.array(list(itertools.product(*(w,) * N))), 1)[:, None]
-    fn = np.sqrt(2.0) * (np.sqrt(var[:, None]) * xn) + mu[:, None]
-    llik = fct(y[:, None], fn)
-    return np.sum(np.exp(np.log((wn * const)[None, :]) + llik), axis=1)
+def _ghdiag(fct, mu, var, y, n_points=10):
+    """Diagonal Gauss-Hermite expectation of a predicted likelihood:
+    E_{f ~ N(mu, diag(var))}[ exp(pllik(y, f)) ]  (same quadrature as
+    reference functions.py:233-241, re-derived).
+
+    Substituting f_d = mu_d + sqrt(2 var_d) t_d turns each latent dimension
+    into a standard Gauss-Hermite integral, so with the tensor-product rule
+    E = pi^{-N/2} * sum_k (prod_d w_{k_d}) * exp(pllik(y, f_k)).  The sum is
+    evaluated in log space (log-sum-exp) for stability at extreme log-liks.
+    """
+    from scipy.special import logsumexp
+
+    t, w = np.polynomial.hermite.hermgauss(n_points)
+    N = mu.shape[1]
+    t_grid = np.meshgrid(*([t] * N), indexing='ij')
+    tn = np.stack([g.ravel() for g in t_grid], axis=-1)          # (K, N)
+    w_grid = np.meshgrid(*([w] * N), indexing='ij')
+    log_wn = np.sum(np.log(np.stack([g.ravel() for g in w_grid], axis=-1)),
+                    axis=1)                                      # (K,)
+    f = mu[:, None, :] + np.sqrt(2.0 * var[:, None, :]) * tn[None]  # (M, K, N)
+    ll = np.asarray(fct(y[:, None], f))
+    ll = ll.reshape(ll.shape[0], ll.shape[1])
+    return np.exp(logsumexp(ll + log_wn[None, :], axis=1) - 0.5 * N * np.log(np.pi))

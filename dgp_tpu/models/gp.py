@@ -10,7 +10,6 @@ import numpy as np
 
 from .. import config
 from ..design import mice_var
-from ..parallel.mesh import sharded_chunk_map
 
 
 class gp:
@@ -178,14 +177,16 @@ class gp:
                                        size=(sample_size, len(mu))).T
             return samples if self.indices is None else samples[self.indices, :]
 
-    def predict(self, x, method='mean_var', sample_size=50, m=50):
+    def predict(self, x, method='mean_var', sample_size=50, m=50, sharded=False):
         """Predict at test inputs (gp.py:412)."""
         if x.ndim == 1:
             raise Exception('The testing input has to be a numpy 2d-array')
         x = np.asarray(x, np.dtype(config.default_dtype()))
         z_in = x[:, self.kernel.connect] if self.kernel.connect is not None else None
         self.kernel.pred_m = m
-        mu, sigma2 = self.kernel.gp_prediction(x=x[:, self.kernel.input_dim], z=z_in)
+        mu, sigma2 = self.kernel.gp_prediction(x=x[:, self.kernel.input_dim],
+                                               z=z_in, sharded=sharded)
+        mu, sigma2 = np.asarray(mu), np.asarray(sigma2)
         if method == 'mean_var':
             return mu.reshape(-1, 1), sigma2.reshape(-1, 1)
         elif method == 'sampling':
@@ -193,11 +194,11 @@ class gp:
 
     def ppredict(self, x, method='mean_var', sample_size=50, m=50,
                  chunk_num=None, core_num=None):
-        """Parallel prediction: shards the test set over the device mesh
-        (replaces the reference's pathos process pool, gp.py:373)."""
-        return sharded_chunk_map(
-            lambda xc: self.predict(xc, method=method, sample_size=sample_size, m=m),
-            x, chunk_num=chunk_num, method=method)
+        """Parallel prediction: the test rows are sharded over the device
+        mesh with `NamedSharding` and GSPMD partitions the prediction program
+        (replaces the reference's pathos process pool, gp.py:373-410)."""
+        return self.predict(x, method=method, sample_size=sample_size, m=m,
+                            sharded=True)
 
     def metric(self, x_cand, method='MICE', nugget_s=1., m=50, score_only=False):
         """ALM / MICE / VIGF sequential-design criteria (gp.py:271)."""

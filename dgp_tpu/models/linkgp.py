@@ -121,7 +121,8 @@ class lgp:
                             cont.imp.key_stats()
 
     # ------------------------------------------------------------------
-    def predict(self, x, method='mean_var', full_layer=False, sample_size=50, m=50):
+    def predict(self, x, method='mean_var', full_layer=False, sample_size=50, m=50,
+                sharded=False):
         """Propagate predictions through the emulator system (linkgp.py:285)."""
         if isinstance(x, list) and len(x) != self.L:
             raise Exception('When the test input is a list it must have global '
@@ -135,7 +136,8 @@ class lgp:
         dt = np.dtype(config.default_dtype())
         mean_pred, variance_pred, sample_pred = [], [], []
         for one_imputed in self.all_layer_set:
-            res = self._predict_one(one_imputed, x, method, full_layer, sample_size, m, dt)
+            res = self._predict_one(one_imputed, x, method, full_layer, sample_size, m, dt,
+                                    sharded=sharded)
             if method == 'mean_var':
                 mean_pred.append(res[0])
                 variance_pred.append(res[1])
@@ -158,7 +160,8 @@ class lgp:
                     for case_s in zip(*sample_pred)]
         return [np.concatenate(i, axis=2) for i in zip(*sample_pred)]
 
-    def _predict_one(self, one_imputed, x, method, full_layer, sample_size, m, dt):
+    def _predict_one(self, one_imputed, x, method, full_layer, sample_size, m, dt,
+                     sharded=False):
         """One imputation's pass through the system."""
         mean_layers, var_layers, sample_layers = [], [], []
         m_l_next, v_l_next = [], []
@@ -173,10 +176,10 @@ class lgp:
                     input_lk = np.asarray(x[0], dt)[:, model.local_input_idx]
                     if model.type == 'gp':
                         m_lk, v_lk = self.gp_pred(input_lk, None, None, None,
-                                                  model.structure, m)
+                                                  model.structure, m, sharded)
                     else:
                         _, _, m_lk, v_lk = self.dgp_pred(input_lk, None, None, None,
-                                                         model.structure, m)
+                                                         model.structure, m, sharded)
                     m_l.append(m_lk)
                     v_l.append(v_lk)
                     if method == 'sampling' and full_layer:
@@ -196,12 +199,12 @@ class lgp:
                     v_in = np.concatenate(v_in, axis=1)
                     if model.type == 'gp':
                         m_lk, v_lk = self.gp_pred(None, m_in, v_in, external,
-                                                  model.structure, m)
+                                                  model.structure, m, sharded)
                         if method == 'sampling' and l == self.L - 1:
                             sample_lk = self._normal_samples(m_lk, v_lk, sample_size)
                     else:
                         m_before, v_before, m_lk, v_lk = self.dgp_pred(
-                            None, m_in, v_in, external, model.structure, m)
+                            None, m_in, v_in, external, model.structure, m, sharded)
                         if method == 'sampling' and l == self.L - 1:
                             sample_lk = self._dgp_samples(model, m_lk, m_before,
                                                           v_before, sample_size)
@@ -265,51 +268,27 @@ class lgp:
 
     def ppredict(self, x, method='mean_var', full_layer=False, sample_size=50,
                  m=50, chunk_num=None, core_num=None):
-        """Chunked system prediction (linkgp.py:214); the chunking that the
-        reference performs over a process pool happens over the device mesh."""
-        if isinstance(x, list):
-            return self.predict(x, method=method, full_layer=full_layer,
-                                sample_size=sample_size, m=m)
-        import jax
-        n_dev = max(1, len(jax.devices()))
-        chunk_num = chunk_num or n_dev
-        chunk_num = max(1, min(chunk_num, len(x)))
-        chunks = np.array_split(np.asarray(x), chunk_num)
-        res = [self.predict(c, method=method, full_layer=full_layer,
-                            sample_size=sample_size, m=m) for c in chunks]
-        if method == 'mean_var':
-            if full_layer:
-                combined = []
-                for comp in zip(*res):
-                    comb = []
-                    for layer in zip(*comp):
-                        comb.append([np.concatenate(w) for w in zip(*list(layer))])
-                    combined.append(comb)
-                return tuple(combined)
-            mus = [np.concatenate(parts) for parts in zip(*[r[0] for r in res])]
-            s2s = [np.concatenate(parts) for parts in zip(*[r[1] for r in res])]
-            return mus, s2s
-        if full_layer:
-            combined = []
-            for layer in zip(*res):
-                combined.append([np.concatenate(w, axis=1) for w in zip(*list(layer))])
-            return combined
-        return [np.concatenate(w, axis=1) for w in zip(*res)]
+        """Parallel system prediction (linkgp.py:214): every per-emulator
+        prediction program runs with the test rows sharded across the device
+        mesh (GSPMD data parallelism, replacing the reference's process
+        pool)."""
+        return self.predict(x, method=method, full_layer=full_layer,
+                            sample_size=sample_size, m=m, sharded=True)
 
     # ------------------------------------------------------------------
     @staticmethod
-    def gp_pred(x, m, v, z, structure, m_pred):
+    def gp_pred(x, m, v, z, structure, m_pred, sharded=False):
         """One GP emulator's prediction under deterministic (x) or Gaussian
         (m, v) inputs (linkgp.py:503)."""
         structure.pred_m = m_pred
         if x is None:
-            mu, s2 = structure.linkgp_prediction(m=m, v=v, z=z)
+            mu, s2 = structure.linkgp_prediction(m=m, v=v, z=z, sharded=sharded)
         else:
-            mu, s2 = structure.gp_prediction(x=x, z=z)
-        return mu.reshape(-1, 1), s2.reshape(-1, 1)
+            mu, s2 = structure.gp_prediction(x=x, z=z, sharded=sharded)
+        return np.asarray(mu).reshape(-1, 1), np.asarray(s2).reshape(-1, 1)
 
     @staticmethod
-    def dgp_pred(x, m, v, z, structure, pred_m):
+    def dgp_pred(x, m, v, z, structure, pred_m, sharded=False):
         """One DGP emulator's layerwise prediction under deterministic or
         Gaussian inputs (linkgp.py:517)."""
         M = len(m) if x is None else len(x)
@@ -326,9 +305,10 @@ class lgp:
                 if l == 0:
                     node.pred_m = pred_m
                     if x is None:
-                        mk, vk = node.linkgp_prediction(m=m, v=v, z=z)
+                        mk, vk = node.linkgp_prediction(m=m, v=v, z=z,
+                                                        sharded=sharded)
                     else:
-                        mk, vk = node.gp_prediction(x=x, z=z)
+                        mk, vk = node.gp_prediction(x=x, z=z, sharded=sharded)
                 elif node.type == 'likelihood':
                     mk, vk = node.prediction(m=in_mean[:, node.input_dim],
                                              v=in_var[:, node.input_dim])
@@ -337,10 +317,12 @@ class lgp:
                     m_in = in_mean[:, node.input_dim]
                     v_in = in_var[:, node.input_dim]
                     if node.connect is None:
-                        mk, vk = node.linkgp_prediction(m=m_in, v=v_in, z=None)
+                        mk, vk = node.linkgp_prediction(m=m_in, v=v_in, z=None,
+                                                        sharded=sharded)
                     elif x is not None:
                         mk, vk = node.linkgp_prediction(m=m_in, v=v_in,
-                                                        z=x[:, node.connect])
+                                                        z=x[:, node.connect],
+                                                        sharded=sharded)
                     else:
                         # connected global dims may themselves be stochastic
                         if l == L - 1:
@@ -355,7 +337,8 @@ class lgp:
                             idx1 = node.connect[node.connect <= (D - 1)]
                             idx2 = node.connect[node.connect > (D - 1)] - D
                         if idx1.size == 0:
-                            mk, vk = node.linkgp_prediction(m=m_in, v=v_in, z=z[:, idx2])
+                            mk, vk = node.linkgp_prediction(m=m_in, v=v_in, z=z[:, idx2],
+                                                            sharded=sharded)
                         elif idx2.size == 0:
                             mk, vk = node.linkgp_prediction_full(
                                 m=m_in, v=v_in, m_z=m[:, idx1], v_z=v[:, idx1], z=None)

@@ -349,41 +349,57 @@ class kernel:
     # ------------------------------------------------------------------
     # predictions
     # ------------------------------------------------------------------
-    def gp_prediction(self, x, z):
+    def gp_prediction(self, x, z, sharded=False):
+        """Dense/Vecchia GP prediction; `sharded=True` places the test rows
+        across the device mesh (reference ppredict's process-pool chunking,
+        gp.py:373-410, as GSPMD data parallelism)."""
         if self.vecch:
-            return self._gp_prediction_vecch(x, z)
+            return self._gp_prediction_vecch(x, z, sharded)
         if z is not None:
             x = np.concatenate((x, z), axis=1)
         if self.Rinv is None:
             self.compute_stats()
         f = _make_gp_predict(self.name)
-        m, v = f(jnp.asarray(x), jnp.asarray(self._X()), jnp.asarray(self.Rinv),
-                 jnp.asarray(self.Rinv_y), jnp.asarray(float(self.scale[0])),
-                 jnp.asarray(self.length), jnp.asarray(float(self.nugget[0])))
+        rest = (jnp.asarray(self._X()), jnp.asarray(self.Rinv),
+                jnp.asarray(self.Rinv_y), jnp.asarray(float(self.scale[0])),
+                jnp.asarray(self.length), jnp.asarray(float(self.nugget[0])))
+        if sharded:
+            from ..parallel import mesh
+            (xs,), n = mesh.shard_rows(x)
+            return mesh.trim_rows(f(xs, *rest), n)
+        m, v = f(jnp.asarray(x), *rest)
         return np.asarray(m), np.asarray(v)
 
-    def _gp_prediction_vecch(self, x, z):
+    def _gp_prediction_vecch(self, x, z, sharded=False):
         from ..vecchia import api as vecchia_api
-        return vecchia_api.gp_prediction_vecch(self, x, z)
+        return vecchia_api.gp_prediction_vecch(self, x, z, sharded)
 
-    def linkgp_prediction(self, m, v, z):
+    def linkgp_prediction(self, m, v, z, sharded=False):
         if self.vecch:
-            return self._linkgp_prediction_vecch(m, v, z)
+            return self._linkgp_prediction_vecch(m, v, z, sharded)
         if self.Rinv is None:
             self.compute_stats()
         f = _make_linkgp_predict(self.name, z is not None)
+        rest = (jnp.asarray(self.input),
+                None if self.global_input is None else jnp.asarray(self.global_input),
+                jnp.asarray(self.Rinv), jnp.asarray(self.Rinv_y),
+                jnp.asarray(float(self.scale[0])), jnp.asarray(self.length),
+                jnp.asarray(float(self.nugget[0])))
+        if sharded:
+            from ..parallel import mesh
+            if z is None:
+                (ms, vs), n = mesh.shard_rows(m, v)
+                zs = None
+            else:
+                (ms, vs, zs), n = mesh.shard_rows(m, v, z)
+            return mesh.trim_rows(f(ms, vs, zs, *rest), n)
         mu, var = f(jnp.asarray(m), jnp.asarray(v),
-                    None if z is None else jnp.asarray(z),
-                    jnp.asarray(self.input),
-                    None if self.global_input is None else jnp.asarray(self.global_input),
-                    jnp.asarray(self.Rinv), jnp.asarray(self.Rinv_y),
-                    jnp.asarray(float(self.scale[0])), jnp.asarray(self.length),
-                    jnp.asarray(float(self.nugget[0])))
+                    None if z is None else jnp.asarray(z), *rest)
         return np.asarray(mu), np.asarray(var)
 
-    def _linkgp_prediction_vecch(self, m, v, z):
+    def _linkgp_prediction_vecch(self, m, v, z, sharded=False):
         from ..vecchia import api as vecchia_api
-        return vecchia_api.linkgp_prediction_vecch(self, m, v, z)
+        return vecchia_api.linkgp_prediction_vecch(self, m, v, z, sharded)
 
     def linkgp_prediction_full(self, m, v, m_z, v_z, z):
         """Linked prediction when part of the global input is itself stochastic

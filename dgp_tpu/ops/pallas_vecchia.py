@@ -1,25 +1,33 @@
-"""Pallas TPU kernel: fused Vecchia block log-likelihood.
+"""Pallas TPU kernels: fused Vecchia block log-likelihood (+ gradient).
 
 The Vecchia conditional log-likelihood is n independent (m+1)x(m+1)
 problems: build the local correlation block, factorise it, forward-solve,
-and keep the final element's (logdet, quad) contribution.  The XLA path
-(vecchia.core) runs this as a chain of ~m separate batched ops; this kernel
-fuses the whole pipeline -- kernel-matrix construction, column Cholesky,
-forward substitution, contributions -- into one VMEM-resident program per
-row slab, with the batch as the vector-lane axis (arrays are (m1, ..., B)).
-
-NOTE: the TPU toolchain in this environment rejects pallas grid loops
-(Mosaic 'func.return' legalisation), so the kernel is grid-free: each call
-processes one B-row slab entirely in VMEM, and slabs are mapped at the XLA
-level with `lax.map`.
+and keep the final element's (logdet, quad) contribution (reference
+`dgpsi/vecchia.py:164-242` runs these as Numba prange loops, one small
+LAPACK call per point).  The XLA path (vecchia.core) runs this as a chain
+of ~m separate batched ops; these kernels fuse the whole pipeline --
+kernel-matrix construction, column Cholesky, forward/backward substitution,
+per-parameter derivative contractions -- into ONE kernel launch, with the
+point batch as the vector-lane axis (arrays are (m1, ..., n)) and a grid
+over row slabs so the whole objective evaluation is a single program.
 
 Padded rows are handled by sentinel coordinates (far apart from everything,
 including each other) + unit diagonal, which decouples them exactly: their
 logdet contribution is log(1)=0 and their quad contribution is 0 (y=0).
 
-Forward-only: the ESS acceptance target needs no gradient.  The M-step
-objective keeps the differentiable XLA path.
+The gradient kernel implements the reference's analytic Vecchia gradient
+(dgpsi/vecchia.py:182-242):
+
+    z    = L^-T e_last
+    w_k  = L^-1 (dK_k z)
+    dlogdet_k = w_k[-1]
+    dquad_k   = 2 (Ly . w_k) Ly[-1] - w_k[-1] Ly[-1]^2
+
+Coordinates arrive pre-scaled by the lengthscales, so
+dK/dlog l_t = 2 u_t^2 K (sexp) or K * (5/3 a^2)(1+sqrt5 a)/c (matern),
+and dK/dlog nugget = diag(nugget * nugget_diag).
 """
+import contextlib
 import functools
 
 import numpy as np
@@ -28,11 +36,24 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+
+def _x32_ctx(dtype):
+    """32-bit tracing context for the f32 kernel path: under x64, pallas
+    emits i64 grid indices which Mosaic cannot legalize ('func.return'
+    error).  The f64 (interpret/test) path must keep x64 semantics."""
+    if dtype == jnp.float32:
+        return jax.enable_x64(False)
+    return contextlib.nullcontext()
+
 SQRT5 = 2.23606797749978969
 _SLAB = 1024
 # the gradient kernel holds ~2x the live temporaries; smaller slabs keep the
-# scoped VMEM stack under the 16MB limit
-_GRAD_SLAB = 256
+# scoped VMEM footprint comfortable
+_GRAD_SLAB = 512
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
 
 
 def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
@@ -58,8 +79,7 @@ def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
     for j in range(m1):
         K[j, j] = diag[j]
 
-    # column Cholesky, batch-vectorised; forward substitution fused in:
-    # sol is accumulated in the last row of L's scratch?  keep explicit.
+    # column Cholesky, batch-vectorised
     for j in range(m1):
         if j == 0:
             dj = jnp.sqrt(K[0, 0])
@@ -74,7 +94,7 @@ def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
                        - jnp.sum(L[j + 1:, :j] * L[j, :j][None], axis=1)) / dj[None]
                 L[j + 1:, j] = off
 
-    # forward substitution L sol = y, reusing K's first rows as storage
+    # forward substitution L sol = y
     sol_prev = []
     for i in range(m1):
         if i == 0:
@@ -90,87 +110,106 @@ def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
     quad_ref[...] = (sol_prev[-1] ** 2)[None]
 
 
-def _slab_call(name, m1, d, dtype):
-    kern = functools.partial(_kernel, m1=m1, name=name)
-
-    def call(Xt, yt, dt_):
-        return pl.pallas_call(
-            kern,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((1, _SLAB), dtype),
-                jax.ShapeDtypeStruct((1, _SLAB), dtype),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((m1, m1, _SLAB), dtype),
-                pltpu.VMEM((m1, m1, _SLAB), dtype),
-            ],
-            interpret=jax.default_backend() != "tpu",
-        )(Xt, yt, dt_)
-
-    return call
-
-
 def block_loglik_parts(Xg, yg, diag, *, name):
-    """Per-row (logdet_i, quad_i) of the Vecchia conditional blocks.
+    """(n, m1, d)-layout wrapper around `block_loglik_parts_t`."""
+    return block_loglik_parts_t(Xg.transpose(1, 2, 0), yg.T, diag.T, name=name)
+
+
+def _pad_last(arrs, n, n_pad, m1, sentinel_for=0):
+    """Pad the trailing point axis of transposed-layout arrays with
+    decoupled sentinel columns."""
+    if n_pad == n:
+        return arrs
+    pad = n_pad - n
+    out = []
+    for i, a in enumerate(arrs):
+        if a is None:
+            out.append(None)
+        elif i == sentinel_for:  # (m1, d, n)
+            sent = (1e7 + jnp.arange(n, n_pad, dtype=a.dtype)[None, :] * 1e3
+                    + jnp.arange(m1, dtype=a.dtype)[:, None] * 7e2)
+            out.append(jnp.concatenate(
+                [a, jnp.broadcast_to(sent[:, None, :], (m1, a.shape[1], pad))],
+                axis=-1))
+        elif i == 2:  # diag pads with 1
+            out.append(jnp.concatenate([a, jnp.ones(a.shape[:-1] + (pad,), a.dtype)],
+                                       axis=-1))
+        else:
+            out.append(jnp.concatenate([a, jnp.zeros(a.shape[:-1] + (pad,), a.dtype)],
+                                       axis=-1))
+    return out
+
+
+def gather_scale_t(X, y, NNarray, length, nugget, nugget_diag, extra_jitter):
+    """Gather + sentinel-encode Vecchia blocks DIRECTLY in the kernels'
+    transposed (m1, d, n) layout.
+
+    The (n, m1, d) -> (m1, d, n) transpose of the naive layout moves the
+    major axis to the minor position -- a full data shuffle per objective
+    evaluation.  Gathering from the (d, n)-transposed inputs instead makes
+    every large intermediate already minor-contiguous in n.
+    """
+    rev = jnp.flip(NNarray, axis=1)
+    validT = (rev >= 0).T                       # (m1, n)
+    safeT = jnp.where(validT, rev.T, 0)
+    n, m1 = X.shape[0], NNarray.shape[1]
+    Xl = (X / length).T                         # (d, n) -- tiny transpose
+    Xg = jnp.swapaxes(Xl[:, safeT], 0, 1)       # (m1, d, n)
+    sent = (1e7 + jnp.arange(n, dtype=Xg.dtype)[None, :] * 1e3
+            + jnp.arange(m1, dtype=Xg.dtype)[:, None] * 7e2)
+    Xg = jnp.where(validT[:, None, :], Xg, sent[:, None, :])
+    yg = jnp.where(validT, y[safeT], 0.0)
+    diag = jnp.where(validT, 1.0 + nugget * nugget_diag[safeT] + extra_jitter, 1.0)
+    return Xg, yg, diag
+
+
+def block_loglik_parts_t(Xg, yg, diag, *, name):
+    """Per-point (logdet_i, quad_i) from transposed-layout blocks.
 
     Args:
-        Xg:   (n, m1, d) gathered, length-scaled coordinates (ascending
-              neighbour order, self last; padded lanes sentinel-encoded).
-        yg:   (n, m1) gathered targets (padded lanes zero).
-        diag: (n, m1) block diagonals (padded lanes 1).
+        Xg:   (m1, d, n) length-scaled coordinates (ascending neighbour
+              order, self last; padded lanes sentinel-encoded).
+        yg:   (m1, n) gathered targets (padded lanes zero).
+        diag: (m1, n) block diagonals (padded lanes 1).
     Returns:
         (logdet (n,), quad (n,)).
     """
-    n, m1, d = Xg.shape
-    n_pad = ((n + _SLAB - 1) // _SLAB) * _SLAB
-    if n_pad != n:
-        pad = n_pad - n
-        sent = (1e7 + jnp.arange(pad, dtype=Xg.dtype)[:, None] * 1e3
-                + jnp.arange(m1, dtype=Xg.dtype)[None, :] * 7e2)
-        Xg = jnp.concatenate([Xg, jnp.broadcast_to(sent[:, :, None], (pad, m1, d))], axis=0)
-        yg = jnp.concatenate([yg, jnp.zeros((pad, m1), yg.dtype)], axis=0)
-        diag = jnp.concatenate([diag, jnp.ones((pad, m1), diag.dtype)], axis=0)
+    m1, d, n = Xg.shape
+    B = min(_SLAB, max(256, 1 << int(np.ceil(np.log2(max(n, 2))))))
+    n_pad = ((n + B - 1) // B) * B
+    Xt, yt, dt_ = _pad_last([Xg, yg, diag], n, n_pad, m1)
 
-    S = n_pad // _SLAB
-    # slabs with the batch as the trailing (lane) axis
-    Xt = Xg.reshape(S, _SLAB, m1, d).transpose(0, 2, 3, 1)   # (S, m1, d, B)
-    yt = yg.reshape(S, _SLAB, m1).transpose(0, 2, 1)          # (S, m1, B)
-    dt_ = diag.reshape(S, _SLAB, m1).transpose(0, 2, 1)
-
-    call = _slab_call(name, m1, d, Xg.dtype)
-    if S == 1:
-        logdet, quad = call(Xt[0], yt[0], dt_[0])
-    else:
-        logdet, quad = jax.lax.map(lambda t: call(*t), (Xt, yt, dt_))
-        logdet = logdet.reshape(1, n_pad)
-        quad = quad.reshape(1, n_pad)
+    kern = functools.partial(_kernel, m1=m1, name=name)
+    grid = (n_pad // B,)
+    with _x32_ctx(Xg.dtype):
+        logdet, quad = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m1, d, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, n_pad), Xg.dtype),
+                jax.ShapeDtypeStruct((1, n_pad), Xg.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((m1, m1, B), Xg.dtype),
+                pltpu.VMEM((m1, m1, B), Xg.dtype),
+            ],
+            interpret=_interpret(),
+        )(Xt, yt, dt_)
     return logdet[0, :n], quad[0, :n]
 
 
 def _grad_kernel(x_ref, y_ref, diag_ref, dnug_ref,
                  logdet_ref, quad_ref, dlogdet_ref, dquad_ref,
                  K, L, *, m1, name, n_length, nugget_est):
-    """Fused per-block (logdet, quad) AND their derivatives w.r.t. the
-    log-transformed kernel parameters, following the reference's analytic
-    Vecchia gradient (dgpsi/vecchia.py:182-242):
-
-        z    = L^-T e_last
-        w_k  = L^-1 (dK_k z)
-        dlogdet_k = w_k[-1]
-        dquad_k   = 2 (Ly . w_k) Ly[-1] - w_k[-1] Ly[-1]^2
-
-    Coordinates arrive pre-scaled by the lengthscales, so
-    dK/dlog l_t = 2 u_t^2 K (sexp) or K * (5/3 a^2)(1+sqrt5 a)/c (matern),
-    and dK/dlog nugget = diag(nugget * nugget_diag)."""
     X = x_ref[...]          # (m1, d, B)
     yv = y_ref[...]         # (m1, B)
     diag = diag_ref[...]    # (m1, B)
@@ -235,14 +274,18 @@ def _grad_kernel(x_ref, y_ref, diag_ref, dnug_ref,
                        - jnp.sum(L[j + 1:, :j] * L[j, :j][None], axis=1)) / dj[None]
                 L[j + 1:, j] = off
 
+    # NOTE: the substitutions/contractions below accumulate per-row (B,)
+    # products in unrolled Python loops rather than jnp.sum over a stacked
+    # (m1, B) tensor -- Mosaic rejects ADD multi_reductions whose operand
+    # layout carries a sublane offset, which stacked value-lists produce.
+
     # Ly = L^-1 y
     Ly = []
     for i in range(m1):
-        if i == 0:
-            Ly.append(yv[0] / L[0, 0])
-        else:
-            acc = yv[i] - jnp.sum(L[i, :i] * jnp.stack(Ly, axis=0), axis=0)
-            Ly.append(acc / L[i, i])
+        acc = yv[i]
+        for t in range(i):
+            acc = acc - L[i, t] * Ly[t]
+        Ly.append(acc / L[i, i])
     Ly_last = Ly[-1]
 
     # z = L^-T e_last (backward substitution)
@@ -253,92 +296,89 @@ def _grad_kernel(x_ref, y_ref, diag_ref, dnug_ref,
         for j in range(i + 1, m1):
             acc = acc + L[j, i] * z[j]
         z[i] = -acc / L[i, i]
-    zs = jnp.stack(z, axis=0)  # (m1, B)
 
     logdet_ref[...] = 2.0 * jnp.log(L[m1 - 1, m1 - 1])[None]
     quad_ref[...] = (Ly_last ** 2)[None]
 
     n_par = n_length + (1 if nugget_est else 0)
-    Ly_s = jnp.stack(Ly, axis=0)  # (m1, B)
     for kpar in range(n_par):
         # v = dK_k z
         if kpar < n_length:
-            v_rows = [jnp.sum(dk_row(a, kpar) * zs, axis=0) for a in range(m1)]
-            v = jnp.stack(v_rows, axis=0)  # (m1, B)
+            v = []
+            for a in range(m1):
+                va = dk_row(a, kpar)                 # (m1, B)
+                acc = va[0] * z[0]
+                for j in range(1, m1):
+                    acc = acc + va[j] * z[j]
+                v.append(acc)
         else:
-            v = dnug * zs
+            v = [dnug[i] * z[i] for i in range(m1)]
         # w = L^-1 v
         w = []
         for i in range(m1):
-            if i == 0:
-                w.append(v[0] / L[0, 0])
-            else:
-                acc = v[i] - jnp.sum(L[i, :i] * jnp.stack(w, axis=0), axis=0)
-                w.append(acc / L[i, i])
-        w_s = jnp.stack(w, axis=0)
+            acc = v[i]
+            for t in range(i):
+                acc = acc - L[i, t] * w[t]
+            w.append(acc / L[i, i])
         w_last = w[-1]
-        s_k = jnp.sum(Ly_s * w_s, axis=0)
+        s_k = Ly[0] * w[0]
+        for i in range(1, m1):
+            s_k = s_k + Ly[i] * w[i]
         dlogdet_ref[kpar] = w_last
         dquad_ref[kpar] = 2.0 * s_k * Ly_last - w_last * Ly_last ** 2
 
 
-def _grad_slab_call(name, m1, d, n_length, nugget_est, dtype):
-    n_par = n_length + (1 if nugget_est else 0)
-    kern = functools.partial(_grad_kernel, m1=m1, name=name,
-                             n_length=n_length, nugget_est=nugget_est)
-
-    def call(Xt, yt, dt_, dn_):
-        return pl.pallas_call(
-            kern,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
-            out_shape=[
-                jax.ShapeDtypeStruct((1, _GRAD_SLAB), dtype),
-                jax.ShapeDtypeStruct((1, _GRAD_SLAB), dtype),
-                jax.ShapeDtypeStruct((n_par, _GRAD_SLAB), dtype),
-                jax.ShapeDtypeStruct((n_par, _GRAD_SLAB), dtype),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((m1, m1, _GRAD_SLAB), dtype),
-                pltpu.VMEM((m1, m1, _GRAD_SLAB), dtype),
-            ],
-            interpret=jax.default_backend() != "tpu",
-        )(Xt, yt, dt_, dn_)
-
-    return call
-
-
 def block_nllik_grad_parts(Xg, yg, diag, dnug, *, name, n_length, nugget_est):
-    """Per-row (logdet, quad) and their gradients w.r.t. log-params.
+    """(n, m1, d)-layout wrapper around `block_nllik_grad_parts_t`."""
+    return block_nllik_grad_parts_t(Xg.transpose(1, 2, 0), yg.T, diag.T,
+                                    dnug.T, name=name, n_length=n_length,
+                                    nugget_est=nugget_est)
+
+
+def block_nllik_grad_parts_t(Xg, yg, diag, dnug, *, name, n_length,
+                             nugget_est):
+    """Per-point (logdet, quad) and their gradients w.r.t. log-params, in one
+    kernel launch (grid over point slabs), from transposed (m1, ..., n)
+    layout blocks.
 
     Returns (logdet (n,), quad (n,), dlogdet (p, n), dquad (p, n))."""
-    n, m1, d = Xg.shape
+    m1, d, n = Xg.shape
     n_par = n_length + (1 if nugget_est else 0)
-    n_pad = ((n + _GRAD_SLAB - 1) // _GRAD_SLAB) * _GRAD_SLAB
-    if n_pad != n:
-        pad = n_pad - n
-        sent = (1e7 + jnp.arange(pad, dtype=Xg.dtype)[:, None] * 1e3
-                + jnp.arange(m1, dtype=Xg.dtype)[None, :] * 7e2)
-        Xg = jnp.concatenate([Xg, jnp.broadcast_to(sent[:, :, None], (pad, m1, d))], axis=0)
-        yg = jnp.concatenate([yg, jnp.zeros((pad, m1), yg.dtype)], axis=0)
-        diag = jnp.concatenate([diag, jnp.ones((pad, m1), diag.dtype)], axis=0)
-        dnug = jnp.concatenate([dnug, jnp.zeros((pad, m1), dnug.dtype)], axis=0)
+    B = min(_GRAD_SLAB, max(256, 1 << int(np.ceil(np.log2(max(n, 2))))))
+    n_pad = ((n + B - 1) // B) * B
+    Xt, yt, dt_, dn_ = _pad_last([Xg, yg, diag, dnug], n, n_pad, m1)
 
-    S = n_pad // _GRAD_SLAB
-    Xt = Xg.reshape(S, _GRAD_SLAB, m1, d).transpose(0, 2, 3, 1)
-    yt = yg.reshape(S, _GRAD_SLAB, m1).transpose(0, 2, 1)
-    dt_ = diag.reshape(S, _GRAD_SLAB, m1).transpose(0, 2, 1)
-    dn_ = dnug.reshape(S, _GRAD_SLAB, m1).transpose(0, 2, 1)
-
-    call = _grad_slab_call(name, m1, d, n_length, nugget_est, Xg.dtype)
-    if S == 1:
-        logdet, quad, dlogdet, dquad = call(Xt[0], yt[0], dt_[0], dn_[0])
-    else:
-        logdet, quad, dlogdet, dquad = jax.lax.map(lambda t: call(*t), (Xt, yt, dt_, dn_))
-        logdet = logdet.reshape(1, n_pad)
-        quad = quad.reshape(1, n_pad)
-        dlogdet = dlogdet.transpose(1, 0, 2).reshape(n_par, n_pad)
-        dquad = dquad.transpose(1, 0, 2).reshape(n_par, n_pad)
+    kern = functools.partial(_grad_kernel, m1=m1, name=name,
+                             n_length=n_length, nugget_est=nugget_est)
+    grid = (n_pad // B,)
+    with _x32_ctx(Xg.dtype):
+        logdet, quad, dlogdet, dquad = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m1, d, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_par, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_par, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((1, n_pad), Xg.dtype),
+                jax.ShapeDtypeStruct((1, n_pad), Xg.dtype),
+                jax.ShapeDtypeStruct((n_par, n_pad), Xg.dtype),
+                jax.ShapeDtypeStruct((n_par, n_pad), Xg.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((m1, m1, B), Xg.dtype),
+                pltpu.VMEM((m1, m1, B), Xg.dtype),
+            ],
+            interpret=_interpret(),
+        )(Xt, yt, dt_, dn_)
     return logdet[0, :n], quad[0, :n], dlogdet[:, :n], dquad[:, :n]
 
 
@@ -351,21 +391,70 @@ def use_pallas(dtype, m1):
     return backend == "tpu" and dtype == jnp.float32 and m1 <= 64
 
 
-def gather_blocks(X, y, NNarray, length, nugget, nugget_diag, extra_jitter):
-    """Gather + sentinel-encode Vecchia blocks for the fused kernel.
+def gather_raw(X, y, NNarray, nugget_diag):
+    """Index-only gather of Vecchia blocks (no parameter dependence).
 
-    Coordinates are pre-scaled by the lengthscales (the kernel then runs at
-    unit length), padded lanes get far-apart sentinel coordinates."""
+    The NN indices are fixed across an M-step's objective evaluations, so the
+    gather runs once and `scale_blocks` applies the per-evaluation
+    lengthscale/nugget transforms.
+
+    Returns (Xg_raw (n, m1, d), yg (n, m1), nug_g (n, m1), valid (n, m1)).
+    """
     rev = jnp.flip(NNarray, axis=1)
     valid = rev >= 0
     safe = jnp.where(valid, rev, 0)
-    Xl = X / length
-    Xg = Xl[safe]
-    n, m1, d = Xg.shape
-    # sentinels: distinct per (row, lane) so padded lanes decouple
+    Xg_raw = X[safe]
+    yg = jnp.where(valid, y[safe], 0.0)
+    nug_g = jnp.where(valid, nugget_diag[safe], 0.0)
+    return Xg_raw, yg, nug_g, valid
+
+
+def scale_blocks(Xg_raw, nug_g, valid, length, nugget, extra_jitter):
+    """Per-evaluation transform: scale coordinates by the lengthscales,
+    sentinel-encode padded lanes, and build the block diagonal.
+
+    Returns (Xg, diag, dnug) ready for the fused kernels."""
+    n, m1, d = Xg_raw.shape
+    Xg = Xg_raw / length
     sent = (1e7 + jnp.arange(n, dtype=Xg.dtype)[:, None] * 1e3
             + jnp.arange(m1, dtype=Xg.dtype)[None, :] * 7e2)
     Xg = jnp.where(valid[:, :, None], Xg, sent[:, :, None])
-    yg = jnp.where(valid, y[safe], 0.0)
-    diag = jnp.where(valid, 1.0 + nugget * nugget_diag[safe] + extra_jitter, 1.0)
+    diag = jnp.where(valid, 1.0 + nugget * nug_g + extra_jitter, 1.0)
+    dnug = nugget * nug_g
+    return Xg, diag, dnug
+
+
+def gather_blocks(X, y, NNarray, length, nugget, nugget_diag, extra_jitter):
+    """Gather + sentinel-encode Vecchia blocks for the fused kernel."""
+    Xg_raw, yg, nug_g, valid = gather_raw(X, y, NNarray, nugget_diag)
+    Xg, diag, _ = scale_blocks(Xg_raw, nug_g, valid, length, nugget, extra_jitter)
     return Xg, yg, diag
+
+
+def gather_raw_t(X, y, NNarray, nugget_diag):
+    """Index-only block gather in the kernels' transposed layout.
+
+    Returns (Xg_raw (m1, d, n), yg (m1, n), nug_g (m1, n), valid (m1, n));
+    see `gather_scale_t` for why the transposed layout matters.
+    """
+    rev = jnp.flip(NNarray, axis=1)
+    validT = (rev >= 0).T
+    safeT = jnp.where(validT, rev.T, 0)
+    Xg_raw = jnp.swapaxes(X.T[:, safeT], 0, 1)   # (m1, d, n)
+    yg = jnp.where(validT, y[safeT], 0.0)
+    nug_g = jnp.where(validT, nugget_diag[safeT], 0.0)
+    return Xg_raw, yg, nug_g, validT
+
+
+def scale_blocks_t(Xg_raw, nug_g, valid, length, nugget, extra_jitter):
+    """Per-evaluation transform in transposed layout.
+
+    Returns (Xg (m1, d, n), diag (m1, n), dnug (m1, n))."""
+    m1, d, n = Xg_raw.shape
+    Xg = Xg_raw / length[None, :, None]
+    sent = (1e7 + jnp.arange(n, dtype=Xg.dtype)[None, :] * 1e3
+            + jnp.arange(m1, dtype=Xg.dtype)[:, None] * 7e2)
+    Xg = jnp.where(valid[:, None, :], Xg, sent[:, None, :])
+    diag = jnp.where(valid, 1.0 + nugget * nug_g + extra_jitter, 1.0)
+    dnug = nugget * nug_g
+    return Xg, diag, dnug

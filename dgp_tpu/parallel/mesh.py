@@ -1,33 +1,74 @@
 """Device-mesh parallelism helpers.
 
 The reference's only parallelism is embarrassingly-parallel chunking over
-process pools (gp.ppredict, emulator.ppredict, lgp.ppredict, dgp.ptrain,
-utils.multistart -- SURVEY.md section 2.3).  On TPU the same structure maps to
-data-parallel sharding over a 1-D `jax.sharding.Mesh`: chunks of the test set
-(or ensemble members, or optimisation starts) live on different devices and
-results are gathered once at the end.  No collectives are needed in any inner
-loop.
+process pools (gp.ppredict, emulator.ppredict, lgp.ppredict -- SURVEY.md
+section 2.3).  On TPU the same structure is data-parallel sharding over a 1-D
+`jax.sharding.Mesh`: the test rows are placed across devices with
+`NamedSharding` and the (jitted) prediction program is partitioned by GSPMD,
+which inserts the single final all-gather.  No collectives appear in any
+inner loop.
 """
 import numpy as np
 import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def device_mesh(n_devices=None, axis_name="chunk"):
+def device_mesh(n_devices=None, axis_name="data"):
     """A 1-D mesh over the available devices."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return jax.sharding.Mesh(np.array(devs), (axis_name,))
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def n_devices():
+    return len(jax.devices())
+
+
+def shard_rows(*arrays, mesh=None):
+    """Row-shard arrays over all devices.
+
+    Pads each array's leading axis to a multiple of the device count (edge
+    mode, so padded rows are valid inputs) and `device_put`s it with a
+    ('data', None, ...) `NamedSharding`.  Returns (sharded_arrays, n_orig);
+    single-device sessions get the inputs back untouched.
+    """
+    n = arrays[0].shape[0]
+    if mesh is None:
+        mesh = device_mesh()
+    n_dev = mesh.devices.size
+    if n_dev == 1 or n < n_dev:
+        return tuple(jnp.asarray(a) for a in arrays), n
+    pad = (-n) % n_dev
+    out = []
+    for a in arrays:
+        a = jnp.asarray(a)
+        if pad:
+            a = jnp.concatenate([a] + [a[-1:]] * pad, axis=0)
+        spec = P(mesh.axis_names[0], *([None] * (a.ndim - 1)))
+        out.append(jax.device_put(a, NamedSharding(mesh, spec)))
+    return tuple(out), n
+
+
+def trim_rows(out, n):
+    """Undo shard_rows padding on every array in a result pytree."""
+    return jax.tree_util.tree_map(lambda o: np.asarray(o)[:n], out)
+
+
+def assert_sharded(x, min_devices=2):
+    """Raise unless `x` is laid out across at least `min_devices` devices
+    (used by tests to prove placement actually happened)."""
+    devs = {s.device for s in x.addressable_shards}
+    if len(devs) < min_devices:
+        raise AssertionError(
+            f"expected >= {min_devices} devices, got {len(devs)}")
 
 
 def sharded_chunk_map(fn, x, chunk_num=None, method="mean_var"):
-    """Apply ``fn`` to row-chunks of ``x`` and concatenate results.
-
-    ``fn`` already dispatches jitted device computation per chunk; chunks are
-    placed round-robin by the runtime.  This preserves the reference
-    ``ppredict`` API (chunk_num) while letting XLA handle placement.  For a
-    single-device session it degrades gracefully to serial chunking.
-    """
+    """Apply ``fn`` to row-chunks of ``x`` and concatenate results (host-side
+    fallback used where the jnp-level sharded path does not apply, e.g.
+    sampling draws that are cheap relative to chunking)."""
     n_dev = max(1, len(jax.devices()))
     if chunk_num is None:
         chunk_num = n_dev

@@ -194,84 +194,112 @@ def summary(obj, tablefmt='fancy_grid'):
 
 
 # ----------------------------------------------------------------------
-# Nystrom kernel PCA (latent init at scale; utils.py:203)
+# Nystrom kernel PCA (latent init at scale; role of reference utils.py:203)
 # ----------------------------------------------------------------------
 class NystromKPCA:
+    """Nystrom-approximated kernel PCA with a sigmoid kernel, used to
+    initialise wide latent layers at scale (role of reference
+    utils.py:203-269; the construction here is the feature-space form).
+
+    With landmarks Z, the Nystrom feature map is phi(x) = W^{-1/2} k(x, Z)
+    where W = k(Z, Z).  Kernel PCA of the centered feature matrix
+    Phi - mean(Phi) is then an ordinary PCA, computed from its SVD; the
+    scores are U_r S_r.  Each component's sign is chosen so its midrange is
+    non-negative (the latent initialiser expects that orientation).
+    """
+
     def __init__(self, n_components, m=200):
         self.m = m
         self.n_components = n_components
-        self.basis_inds = None
 
     def fit_transform(self, X):
-        from sklearn.metrics.pairwise import pairwise_kernels
-
-        n_samples = X.shape[0]
-        self.m = min(n_samples, self.m)
-        inds = np.random.permutation(n_samples)
-        self.basis_inds = inds[:self.m]
-        basis = X[self.basis_inds]
-        K_nm = pairwise_kernels(X, basis, metric='sigmoid', filter_params=True)
-        K_mm = K_nm[self.basis_inds]
-        K_mm_p, K_nm_p = self._demean(K_mm, K_nm)
-        K_inv_sqrt = self._inv(K_mm_p, sqrt=True)
-        nystrom = K_inv_sqrt @ K_nm_p.T @ K_nm_p @ K_inv_sqrt / n_samples
-        _, U = np.linalg.eigh(nystrom)
-        U = U[:, ::-1]
-        comps = K_inv_sqrt @ U[:, :self.n_components]
-        scores = K_nm_p @ comps
-        flip = (scores.min(0) + scores.max(0)) / 2 < 0
-        return scores @ np.diag(1 - 2 * flip)
-
-    def _demean(self, K_mm, K_nm):
-        n, m = K_nm.shape
-        n_mean = K_nm.sum(0) / n
-        M1 = np.tile(n_mean, (n, 1))
-        m0 = self._inv(K_mm) @ n_mean[:, None]
-        M2 = np.tile(K_nm @ m0, (1, m))
-        M3 = n_mean @ m0
-        K_nm_p = K_nm - M1 - M2 + M3
-        M1 = M1[:m]
-        K_mm_p = K_mm - M1 - M1.T + M3
-        return K_mm_p, K_nm_p
-
-    @staticmethod
-    def _inv(K, sqrt=False):
-        U, S, V = np.linalg.svd(K)
-        S = np.maximum(S, 1e-12)
-        return (U / np.sqrt(S)) @ V if sqrt else (U / S) @ V
+        X = np.asarray(X)
+        n, d = X.shape
+        m = min(self.m, n)
+        idx = np.random.permutation(n)[:m]
+        Z = X[idx]
+        gamma = 1.0 / d  # sklearn's sigmoid-kernel default
+        K_nm = np.tanh(gamma * (X @ Z.T) + 1.0)
+        W = K_nm[idx]
+        W = 0.5 * (W + W.T)
+        lam, V = np.linalg.eigh(W)
+        lam = np.maximum(lam, 1e-12)
+        Phi = K_nm @ ((V / np.sqrt(lam)) @ V.T)
+        Phi -= Phi.mean(axis=0)
+        U, S, _ = np.linalg.svd(Phi, full_matrices=False)
+        r = min(self.n_components, S.shape[0])
+        scores = U[:, :r] * S[:r]
+        if r < self.n_components:  # rank-deficient input: pad with zeros
+            scores = np.pad(scores, ((0, 0), (0, self.n_components - r)))
+        flip = (scores.min(axis=0) + scores.max(axis=0)) / 2 < 0
+        return scores * np.where(flip, -1.0, 1.0)
 
 
 # ----------------------------------------------------------------------
-# multistart optimisation (utils.py:271)
+# multistart optimisation (role of reference utils.py:271)
 # ----------------------------------------------------------------------
 def multistart(func, initials, lb, up, args=(), method='L-BFGS-B',
                core_num=None, out_dim=0, int_mask=None):
-    """Multistart bounded minimisation of -func; returns the best start's
-    optimum.  The reference runs starts in a process pool; here the starts
-    run serially on the host with the objective free to dispatch device
-    computation (they are cheap scipy L-BFGS-B drives around user code)."""
-    from scipy.optimize import minimize as sp_minimize, Bounds
+    """Multistart bounded maximisation of ``func``; returns the best start.
 
-    bounds = Bounds(lb, up)
+    The reference fans the starts over a process pool of scipy optimisers.
+    Here, when ``func`` is jax-traceable, ALL starts run as one vmapped
+    bounded L-BFGS program on device (ops.lbfgs) -- every iteration of every
+    start shares a single launch.  Non-traceable objectives (host code,
+    external simulators) fall back to per-start scipy L-BFGS-B.
+
+    ``int_mask`` marks integer-constrained dimensions, rounded inside the
+    objective and in the returned optimum (reference utils.py:311-320).
+    """
+    initials = np.atleast_2d(np.asarray(initials, np.float64))
+    lb = np.asarray(lb, np.float64)
+    up = np.asarray(up, np.float64)
     D = len(lb)
+    maxfun = int(max(30, 20 + 5 * D))
 
-    def wrapped(x, *fargs):
-        if int_mask is not None:
-            x = x.copy()
-            x[int_mask] = np.round(x[int_mask])
-        x2 = np.atleast_2d(x)
-        val = func(x2, *fargs)
-        if out_dim == -1:
-            return -np.mean(val[0])
-        return -val[0][out_dim]
+    def _reduce(val):
+        v0 = val[0]
+        return -np.mean(v0) if out_dim == -1 else -v0[out_dim]
 
-    results = []
-    for x0 in initials:
-        res = sp_minimize(wrapped, x0, args=args, method=method, bounds=bounds,
-                          options={'maxiter': 100, 'maxfun': int(max(30, 20 + 5 * D))})
-        results.append((res.x, res.fun))
-    xs, fs = zip(*results)
-    best = np.asarray(xs[int(np.argmin(fs))])
+    try:
+        import jax
+        import jax.numpy as jnp
+        from .ops import lbfgs as jlbfgs
+
+        def obj(x):
+            if int_mask is not None:
+                x = x.at[np.asarray(int_mask)].set(jnp.round(x[np.asarray(int_mask)]))
+            val = func(x[None, :], *args)
+            v0 = val[0]
+            v = -jnp.mean(v0) if out_dim == -1 else -jnp.ravel(v0)[out_dim]
+            return jnp.asarray(v, jnp.float64)
+
+        def one(x0):
+            return jlbfgs.minimize(jax.value_and_grad(obj), x0,
+                                   jnp.asarray(lb), jnp.asarray(up),
+                                   maxiter=100, maxfun=maxfun)
+
+        xs, fs, _ = jax.jit(jax.vmap(one))(jnp.asarray(initials))
+        xs, fs = np.asarray(xs), np.asarray(fs)
+        if not np.all(np.isfinite(fs)):
+            raise FloatingPointError("non-finite multistart objective")
+    except Exception:
+        from scipy.optimize import minimize as sp_minimize, Bounds
+
+        def wrapped(x, *fargs):
+            if int_mask is not None:
+                x = x.copy()
+                x[int_mask] = np.round(x[int_mask])
+            return _reduce(func(np.atleast_2d(x), *fargs))
+
+        results = [sp_minimize(wrapped, x0, args=args, method=method,
+                               bounds=Bounds(lb, up),
+                               options={'maxiter': 100, 'maxfun': maxfun})
+                   for x0 in initials]
+        xs = np.asarray([r.x for r in results])
+        fs = np.asarray([r.fun for r in results])
+
+    best = xs[int(np.argmin(fs))].copy()
     if int_mask is not None:
         best[int_mask] = np.round(best[int_mask])
     return best

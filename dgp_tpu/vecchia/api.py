@@ -32,9 +32,13 @@ def ord_nn(node, ord=None, NNarray=None, pointer=False):
     else:
         node.NNarray = np.asarray(NNarray)
     if pointer:
-        # marker used by the Hetero exact-posterior path; the dense fallback
-        # in the compiled sampler needs no CSR pointers.
-        node.imp_NNarray = node.NNarray
+        # Self-excluded unconstrained NN for the Hetero exact-posterior
+        # sampler (reference kernel_class.py:268-277 builds the stacked
+        # imp_NNarray + CSR pointers; the batched sampler only needs the raw
+        # neighbour indices -- see vecchia.core.post_het_vecch).
+        X = _scaled_input(node)
+        node.imp_NNarray = nnmod.get_pred_nn(X[node.ord], X[node.ord],
+                                             node.m, method=node.nn_method)[:, 1:]
 
 
 def _scaled_input(node):
@@ -189,7 +193,7 @@ def maximise_vecch(node):
     node.add_to_path()
 
 
-def gp_prediction_vecch(node, x, z):
+def gp_prediction_vecch(node, x, z, sharded=False):
     dt = config.default_dtype()
     if z is not None:
         x = np.concatenate((x, z), axis=1)
@@ -201,15 +205,20 @@ def gp_prediction_vecch(node, x, z):
     if node.loo_state:
         NNarray = NNarray[:, 1:]
     f = _make_gp_vecch(node.name)
-    mean, var = f(jnp.asarray(x, dt), jnp.asarray(w, dt), jnp.asarray(NNarray),
-                  jnp.asarray(node.output[:, 0], dt),
-                  jnp.asarray(float(node.scale[0]), dt),
-                  jnp.asarray(node.length, dt),
-                  jnp.asarray(float(node.nugget[0]), dt), _nugget_diag(node))
+    rest = (jnp.asarray(node.output[:, 0], dt),
+            jnp.asarray(float(node.scale[0]), dt),
+            jnp.asarray(node.length, dt),
+            jnp.asarray(float(node.nugget[0]), dt), _nugget_diag(node))
+    w_j = jnp.asarray(w, dt)
+    if sharded:
+        from ..parallel import mesh
+        (xs, nns), n = mesh.shard_rows(jnp.asarray(x, dt), jnp.asarray(NNarray))
+        return mesh.trim_rows(f(xs, w_j, nns, *rest), n)
+    mean, var = f(jnp.asarray(x, dt), w_j, jnp.asarray(NNarray), *rest)
     return np.asarray(mean), np.asarray(var)
 
 
-def linkgp_prediction_vecch(node, m, v, z):
+def linkgp_prediction_vecch(node, m, v, z, sharded=False):
     dt = config.default_dtype()
     if z is not None:
         xq = np.concatenate((m, z), axis=1)
@@ -222,15 +231,33 @@ def linkgp_prediction_vecch(node, m, v, z):
     if node.loo_state:
         NNarray = NNarray[:, 1:]
     f = _make_link_gp_vecch(node.name, z is not None)
-    mean, var = f(jnp.asarray(m, dt), jnp.asarray(v, dt),
-                  None if z is None else jnp.asarray(z, dt),
-                  jnp.asarray(node.input, dt),
-                  None if node.global_input is None else jnp.asarray(node.global_input, dt),
-                  jnp.asarray(NNarray),
-                  jnp.asarray(node.output[:, 0], dt),
-                  jnp.asarray(float(node.scale[0]), dt),
-                  jnp.asarray(node.length, dt),
-                  jnp.asarray(float(node.nugget[0]), dt), _nugget_diag(node))
+    rest = (jnp.asarray(node.input, dt),
+            None if node.global_input is None else jnp.asarray(node.global_input, dt),
+            jnp.asarray(node.output[:, 0], dt),
+            jnp.asarray(float(node.scale[0]), dt),
+            jnp.asarray(node.length, dt),
+            jnp.asarray(float(node.nugget[0]), dt), _nugget_diag(node))
+
+    def call(ms, vs, zs, nns):
+        w1, gw1 = rest[0], rest[1]
+        return f(ms, vs, zs, w1, gw1, nns, *rest[2:])
+
+    if sharded:
+        from ..parallel import mesh
+        if z is None:
+            (ms, vs, nns), n = mesh.shard_rows(jnp.asarray(m, dt),
+                                               jnp.asarray(v, dt),
+                                               jnp.asarray(NNarray))
+            zs = None
+        else:
+            (ms, vs, zs, nns), n = mesh.shard_rows(jnp.asarray(m, dt),
+                                                   jnp.asarray(v, dt),
+                                                   jnp.asarray(z, dt),
+                                                   jnp.asarray(NNarray))
+        return mesh.trim_rows(call(ms, vs, zs, nns), n)
+    mean, var = call(jnp.asarray(m, dt), jnp.asarray(v, dt),
+                     None if z is None else jnp.asarray(z, dt),
+                     jnp.asarray(NNarray))
     return np.asarray(mean), np.asarray(var)
 
 

@@ -13,6 +13,7 @@ autodiff through the batched factorisation.
 """
 from functools import partial
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -73,9 +74,9 @@ def vecchia_llik(X, y, NNarray, scale, length, nugget, nugget_diag, name):
     from ..ops import pallas_vecchia as pv
 
     if pv.use_pallas(X.dtype, NNarray.shape[1]):
-        Xg, yg, diag = pv.gather_blocks(X, y, NNarray, length, nugget,
-                                        nugget_diag, _f32_jitter(X.dtype))
-        logdet_i, quad_i = pv.block_loglik_parts(Xg, yg, diag, name=name)
+        Xg, yg, diag = pv.gather_scale_t(X, y, NNarray, length, nugget,
+                                         nugget_diag, _f32_jitter(X.dtype))
+        logdet_i, quad_i = pv.block_loglik_parts_t(Xg, yg, diag, name=name)
         quad = linalg.sum64(quad_i)
         logdet = linalg.sum64(logdet_i)
         return -0.5 * (logdet + quad / jnp.asarray(scale, jnp.float64))
@@ -124,13 +125,15 @@ def vecchia_nllik(log_theta, X, y, NNarray, nugget_diag, *, name, scale_est,
 
 def vecchia_nllik_fg(log_theta, X, y, NNarray, nugget_diag, *, name, n_length,
                      scale_est, nugget_est, fixed_scale, fixed_nugget, n_orig,
-                     sum_residual, prior_name=None, prior_coef=None):
+                     sum_residual, prior_name=None, prior_coef=None, raw=None):
     """Profiled Vecchia negative log-lik AND its gradient w.r.t. log-params,
     through the fused Pallas kernel with the reference's analytic gradient
     (dgpsi/vecchia.py:182-242).  Returns (nll, grad, scale).
 
     Only used on the Pallas path; the XLA path differentiates vecchia_nllik
-    by autodiff."""
+    by autodiff.  `raw` optionally carries the parameter-independent block
+    gathers from `pv.gather_raw` so repeated objective evaluations (L-BFGS)
+    skip the gather."""
     from ..ops import pallas_vecchia as pv
     from .. import gp_core
 
@@ -141,12 +144,11 @@ def vecchia_nllik_fg(log_theta, X, y, NNarray, nugget_diag, *, name, n_length,
         length = jnp.exp(log_theta)
         nugget = fixed_nugget
     n = X.shape[0]
-    Xg, yg, diag = pv.gather_blocks(X, y, NNarray, length, nugget, nugget_diag,
-                                    _f32_jitter(X.dtype))
-    rev = jnp.flip(NNarray, axis=1)
-    valid = rev >= 0
-    safe = jnp.where(valid, rev, 0)
-    dnug = jnp.where(valid, nugget * nugget_diag[safe], 0.0)
+    if raw is None:
+        raw = pv.gather_raw(X, y, NNarray, nugget_diag)
+    Xg_raw, yg, nug_g, valid = raw
+    Xg, diag, dnug = pv.scale_blocks(Xg_raw, nug_g, valid, length, nugget,
+                                     _f32_jitter(X.dtype))
     logdet_i, quad_i, dlogdet_i, dquad_i = pv.block_nllik_grad_parts(
         Xg, yg, diag, dnug, name=name, n_length=n_length, nugget_est=nugget_est)
     quad = linalg.sum64(quad_i)
@@ -213,19 +215,147 @@ def cond_weights(X, NNarray, length, nugget, name, nugget_diag=None):
     return w, sigma, idx_asc, valid
 
 
-def fmvn_sp(key, X, NNarray, scale, length, nugget, name):
-    """Draw one sample from the Vecchia-approximated N(0, scale*K)
-    (reference fmvn_sp) by ancestral sampling: batched precompute of the
-    conditional weights, then an O(n) scan."""
+def _unitri_inverse(W):
+    """(..., B, B) inverse of (I - W) for strictly-lower-triangular W via
+    Neumann doubling: (I-W)^{-1} = prod_k (I + W^{2^k}).  W is nilpotent
+    (W^B = 0), so ceil(log2(B)) doubling steps are exact.  All work is
+    batched (B, B) matmuls -- MXU-native, unlike a sequential substitution."""
+    B = W.shape[-1]
+    eye = jnp.eye(B, dtype=W.dtype)
+    M = eye + W
+    A = W
+    steps = max(1, int(np.ceil(np.log2(max(B, 2)))))
+    for _ in range(steps - 1):
+        A = A @ A
+        M = M + M @ A
+    return M
+
+
+def ancestral_sample(eps, w, idx_asc, block=512):
+    """Vecchia ancestral pass x_i = w_i . x_{N(i)} + eps_i, solved in
+    O(n/block) sequential steps instead of n.
+
+    The recursion is x = (I - W)^{-1} eps with W the (n, n) strictly-lower
+    weight matrix (rows = w at columns idx_asc).  Split the ordering into
+    blocks of size `block`: cross-block terms are sparse gathers from
+    already-computed entries; within-block coupling is solved by a
+    precomputed dense per-block inverse (batched over blocks).  Replaces the
+    reference's O(n) sequential loop (dgpsi/vecchia.py:122-140) with a few
+    MXU matmuls per block.
+
+    Args:
+        eps: (S, n) independent noise, already scaled by the conditional sd.
+        w: (n, m) conditional weights (0 on padded lanes).
+        idx_asc: (n, m) ascending neighbour indices (0 on padded lanes).
+    Returns:
+        (S, n) samples.
+    """
+    S, n = eps.shape
+    m = w.shape[1]
+    if n > 32768:
+        block = min(block, 256)  # doubling FLOPs grow as n * B^2 * log B
+    B = min(block, max(64, 1 << int(np.ceil(np.log2(max(n, 2))))))
+    n_pad = ((n + B - 1) // B) * B
+    nb = n_pad // B
+    if n_pad != n:
+        eps = jnp.pad(eps, ((0, 0), (0, n_pad - n)))
+        w = jnp.pad(w, ((0, n_pad - n), (0, 0)))
+        idx_asc = jnp.pad(idx_asc, ((0, n_pad - n), (0, 0)))
+
+    # dense within-block weight matrices (nb, B, B): scatter each row's
+    # in-block neighbour weights to local columns
+    base = (jnp.arange(n_pad, dtype=idx_asc.dtype) // B) * B
+    rel = idx_asc - base[:, None]                       # (n_pad, m)
+    in_blk = (rel >= 0) & (w != 0)
+    rel_safe = jnp.where(in_blk, rel, B)                # B = drop lane
+    rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], rel.shape)
+    Wflat = jnp.zeros((n_pad, B + 1), w.dtype).at[rows, rel_safe].add(
+        jnp.where(in_blk, w, 0.0))
+    W_bb = Wflat[:, :B].reshape(nb, B, B)
+    M = _unitri_inverse(W_bb)                           # (nb, B, B)
+
+    w_cross = jnp.where(in_blk, 0.0, w)                 # only earlier-block terms
+    idx_b = idx_asc.reshape(nb, B, m)
+    w_cross_b = w_cross.reshape(nb, B, m)
+    eps_b = eps.reshape(S, nb, B)
+
+    def body(x, b):
+        gathered = x[:, b['idx']]                       # (S, B, m)
+        c = b['eps'] + jnp.einsum('sbm,bm->sb', gathered, b['wc'])
+        xb = jnp.einsum('ij,sj->si', b['M'], c)
+        x = jax.lax.dynamic_update_slice(x, xb, (0, b['off']))
+        return x, None
+
+    blocks = {'idx': idx_b, 'wc': w_cross_b, 'M': M,
+              'eps': jnp.moveaxis(eps_b, 1, 0),
+              'off': jnp.arange(nb) * B}
+    x, _ = jax.lax.scan(body, jnp.zeros((S, n_pad), eps.dtype), blocks)
+    return x[:, :n]
+
+
+def fmvn_sp(key, X, NNarray, scale, length, nugget, name, S=None):
+    """Draw S samples (default: one, shape (n,)) from the Vecchia-approximated
+    N(0, scale*K) (reference fmvn_sp) by blocked ancestral sampling."""
     n = X.shape[0]
+    squeeze = S is None
+    S_ = 1 if squeeze else S
     w, sigma, idx_asc, _ = cond_weights(X, NNarray, length, nugget, name)
-    eps = jax.random.normal(key, (n,), X.dtype) * jnp.sqrt(scale) * sigma
+    eps = (jax.random.normal(key, (S_, n), X.dtype)
+           * jnp.sqrt(scale) * sigma[None, :])
+    x = ancestral_sample(eps, w, idx_asc)
+    return x[0] if squeeze else x
 
-    def body(i, x):
-        xi = jnp.dot(w[i], x[idx_asc[i]]) + eps[i]
-        return x.at[i].set(xi)
 
-    return jax.lax.fori_loop(0, n, body, jnp.zeros(n, X.dtype))
+def post_het_vecch(key, X, impNN, Gamma, y_eff, scale, length, nugget, name):
+    """One draw from the exact conditional posterior of the Hetero mean under
+    the Vecchia approximation (reference `U_matrix_sp` + `post_het_vecch`,
+    dgpsi/vecchia.py:612-622, likelihood_class.py:153-182), fully batched.
+
+    Model: f ~ N(0, scale*K) (Vecchia-approximated), y_i = f_i + N(0, Gamma_i).
+    The reference stacks (observations, latents) into a 2n sequence and
+    Vecchia-factorises the joint: column i conditions latent f_i on its own
+    observation y_i, the PRIOR latents among its m-1 nearest neighbours, and
+    the observations of its FUTURE neighbours.  With u_i = L_i^{-T} e_last
+    the sparse factor satisfies  f | y ~ N(-U_l^{-T} U_o^T y, U_l^{-T}U_l^{-1}).
+    The upper-triangular solve has the ancestral-recursion form, so it runs
+    through the blocked `ancestral_sample` (a few MXU matmuls per block)
+    instead of a sequential sparse substitution.
+
+    All inputs in Vecchia order; returns an (n,) sample in the same order.
+
+    Args:
+        X: (n, d) ordered inputs.  impNN: (n, m-1) self-excluded NN indices.
+        Gamma: (n,) noise variances.  y_eff: (n,) effective observations.
+    """
+    n = X.shape[0]
+    dt = X.dtype
+    ar = jnp.arange(n)
+    is_prev = impNN < ar[:, None]
+    idx = jnp.concatenate([impNN, ar[:, None], ar[:, None]], axis=1)  # (n, m+1)
+    m1 = idx.shape[1]
+    # slot s is a latent copy if it's a PRIOR neighbour, or the final self slot
+    is_lat = jnp.concatenate(
+        [is_prev, jnp.zeros((n, 1), bool), jnp.ones((n, 1), bool)], axis=1)
+    Xi = X[idx]
+    K = scale * kops.k_cross(Xi, Xi, length, name)
+    jitter = jnp.maximum(1e-10, _f32_jitter(dt) * scale)
+    diag = (jnp.diagonal(K, axis1=-2, axis2=-1)
+            + jnp.where(is_lat, 0.0, Gamma[idx]) + jitter)
+    K = kops.set_diag(K, diag)
+    L = _chol_chunked(K)
+    e_last = jnp.zeros((n, m1), dt).at[:, -1].set(1.0)
+    u = linalg.bwd_solve_small(L, e_last)           # (n, m+1) = L^{-T} e_last
+
+    # b_i = -(U_o^T y)_i + eps_i  over observation slots
+    obs_contrib = jnp.sum(jnp.where(is_lat, 0.0, u * y_eff[idx]), axis=1)
+    eps = jax.random.normal(key, (n,), dt)
+    u_self = u[:, -1]
+    b = (-obs_contrib + eps) / u_self
+    # prior-latent slots (the first m-1 NN entries) drive the recursion
+    u_nn = u[:, :impNN.shape[1]]
+    w = jnp.where(is_prev, -u_nn / u_self[:, None], 0.0)
+    idx_prev = jnp.where(is_prev, impNN, 0)
+    return ancestral_sample(b[None, :], w, idx_prev)[0]
 
 
 # ----------------------------------------------------------------------
@@ -329,4 +459,6 @@ def link_gp_vecch(m, v, z, w1, global_w1, NNarray, y, scale, length, nugget,
                       + scale * (1.0 + nugget - tr))
         return mu, var
 
-    return jax.lax.map(one, jnp.arange(m.shape[0]), batch_size=256)
+    # vmapped (not lax.map'ed) so the row axis stays data-parallel and can be
+    # sharded across devices by GSPMD; intermediates are (M, m+1, m+1).
+    return jax.vmap(one)(jnp.arange(m.shape[0]))

@@ -1,6 +1,11 @@
-"""Nearest-neighbour search for the Vecchia approximation, as tiled
-device-side top-k (replaces the reference's FAISS / sklearn KD-trees,
-`dgpsi/vecchia.py:20-109`).
+"""Nearest-neighbour search for the Vecchia approximation.
+
+Exact search is tiled device-side top-k over full distance rows; approximate
+search (``method='approx'``; the reference's FAISS-HNSW role,
+`dgpsi/vecchia.py:28-35, 72-107`) is an IVF-style scheme built from
+TPU-friendly primitives: a k-means coarse quantizer (batched
+distance matmuls), inverted bucket lists, and cluster-restricted exact
+top-k over the P nearest buckets per query.
 
 Layout conventions match the reference:
   * `nn(x, m)`: for points already in Vecchia order, row i holds the indices
@@ -57,10 +62,13 @@ NATIVE_NN_THRESHOLD = 32768
 
 
 def nn(x, m, method='exact', size=40, efSearch=100, n_jobs=-1):
-    """Ordered nearest neighbours (reference vecchia.nn)."""
+    """Ordered nearest neighbours (reference vecchia.nn).  ``method`` in
+    {'exact', 'approx'} ('hnsw'/'ivf' are accepted aliases for 'approx')."""
     x = np.asarray(x)
     n = x.shape[0]
     m = min(m, n - 1)
+    if method in ('approx', 'hnsw', 'ivf') and n > 4 * _BLOCK:
+        return _nn_approx(x, int(m), ordered=True)
     if n >= NATIVE_NN_THRESHOLD:
         from .. import native
         out = native.nn_ordered(x, int(m))
@@ -92,9 +100,118 @@ def get_pred_nn(query, x, m=50, method='exact', size=40, efSearch=100, n_jobs=-1
     query, x = np.asarray(query), np.asarray(x)
     n = x.shape[0]
     m = int(min(m, n))
+    if method in ('approx', 'hnsw', 'ivf') and n > 4 * _BLOCK:
+        return _pred_nn_approx(query, x, m)
     if len(query) * n >= NATIVE_NN_THRESHOLD ** 2:
         from .. import native
         out = native.pred_nn(query, x, m)
         if out is not None:
             return out
     return np.asarray(_pred_nn_impl(jnp.asarray(query), jnp.asarray(x), m))
+
+
+# ----------------------------------------------------------------------
+# approximate (IVF) search
+# ----------------------------------------------------------------------
+@partial(jax.jit, static_argnums=(1, 2))
+def _kmeans_fit(x, K, iters):
+    """Lloyd k-means on device: assignments via blocked distance matmuls,
+    centroid updates via segment sums.  Returns (centroids, assign)."""
+    n = x.shape[0]
+    cent0 = x[(jnp.arange(K) * (n // K)) % n]
+
+    def assign_all(cent):
+        n_pad = ((n + _BLOCK - 1) // _BLOCK) * _BLOCK
+        xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+
+        def one_block(b):
+            Q = jax.lax.dynamic_slice(xp, (b * _BLOCK, 0), (_BLOCK, x.shape[1]))
+            return jnp.argmin(_sq_dists_block(Q, cent), axis=1)
+
+        out = jax.lax.map(one_block, jnp.arange(n_pad // _BLOCK))
+        return out.reshape(n_pad)[:n]
+
+    def step(cent, _):
+        a = assign_all(cent)
+        sums = jax.ops.segment_sum(x, a, num_segments=K)
+        cnts = jax.ops.segment_sum(jnp.ones((n,), x.dtype), a, num_segments=K)
+        new = jnp.where(cnts[:, None] > 0,
+                        sums / jnp.maximum(cnts, 1.0)[:, None], cent)
+        return new, None
+
+    cent, _ = jax.lax.scan(step, cent0, None, length=iters)
+    return cent, assign_all(cent)
+
+
+def _buckets_np(assign, K, Lmax):
+    """(K, Lmax) inverted lists (-1 padded); overflow beyond Lmax dropped."""
+    n = assign.shape[0]
+    order = np.argsort(assign, kind='stable')
+    a_sorted = assign[order]
+    start = np.searchsorted(a_sorted, np.arange(K))
+    pos = np.arange(n) - start[a_sorted]
+    keep = pos < Lmax
+    buckets = np.full((K, Lmax), -1, np.int32)
+    buckets[a_sorted[keep], pos[keep]] = order[keep]
+    return buckets
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _ivf_query(q, x, cent, buckets, m, P, ordered):
+    """Cluster-restricted exact top-k: candidates = the P nearest buckets
+    (plus the query itself when ordered).  Returns (idx (nq, m), valid)."""
+    nq, d = q.shape
+    big = jnp.asarray(jnp.finfo(x.dtype).max / 8, x.dtype)
+    n_pad = ((nq + _BLOCK - 1) // _BLOCK) * _BLOCK
+    qp = jnp.pad(q, ((0, n_pad - nq), (0, 0)))
+
+    def one_block(b):
+        Q = jax.lax.dynamic_slice(qp, (b * _BLOCK, 0), (_BLOCK, d))
+        q_idx = b * _BLOCK + jnp.arange(_BLOCK)
+        d2c = _sq_dists_block(Q, cent)                     # (B, K)
+        _, cl = jax.lax.top_k(-d2c, P)                     # (B, P)
+        cand = buckets[cl].reshape(_BLOCK, -1)             # (B, P*Lmax)
+        ok = cand >= 0
+        if ordered:
+            # strict predecessors from the buckets; self appended explicitly
+            # (its bucket copy is excluded so no slot is wasted on a dup)
+            ok &= cand < q_idx[:, None]
+            cand = jnp.concatenate([cand, q_idx[:, None]], axis=1)
+            ok = jnp.concatenate([ok, jnp.ones((_BLOCK, 1), bool)], axis=1)
+        safe = jnp.where(ok, cand, 0)
+        Xc = x[safe]                                       # (B, C, d)
+        d2 = jnp.sum((Xc - Q[:, None, :]) ** 2, axis=-1)
+        d2 = jnp.where(ok, d2, big)
+        neg_d, sel = jax.lax.top_k(-d2, m)
+        idx = jnp.take_along_axis(safe, sel, axis=1)
+        valid = -neg_d < big / 2
+        return jnp.where(valid, idx, -1)
+
+    out = jax.lax.map(one_block, jnp.arange(n_pad // _BLOCK))
+    return out.reshape(n_pad, m)[:nq]
+
+
+def _ivf_build(x, n):
+    K = int(np.ceil(2.0 * np.sqrt(n)))
+    Lmax = int(np.ceil(4.0 * n / K))
+    cent, assign = _kmeans_fit(jnp.asarray(x), K, 6)
+    buckets = _buckets_np(np.asarray(assign), K, Lmax)
+    return cent, jnp.asarray(buckets)
+
+
+def _nn_approx(x, m, ordered=True, P=16):
+    n = x.shape[0]
+    cent, buckets = _ivf_build(x, n)
+    out = np.asarray(_ivf_query(jnp.asarray(x), jnp.asarray(x), cent, buckets,
+                                m + 1, P, True))
+    # descending index order with -1s at the tail (reference layout)
+    return np.flip(np.sort(out, axis=1), axis=1)
+
+
+def _pred_nn_approx(query, x, m, P=16):
+    n = x.shape[0]
+    cent, buckets = _ivf_build(x, n)
+    out = np.asarray(_ivf_query(jnp.asarray(query), jnp.asarray(x), cent,
+                                buckets, m, P, False))
+    # nearest-first layout; repair any -1 (insufficient candidates) to 0
+    return np.where(out >= 0, out, 0)

@@ -196,6 +196,33 @@ def test_dgp_update_xy():
     m.train(N=10, disable=True, chunk_size=10)
 
 
+def test_update_all_layer():
+    """Swap a trained structure into a fresh dgp and continue training
+    (reference dgp.py:760-823)."""
+    _seed(31)
+    n = 30
+    X = np.random.uniform(size=(n, 1))
+    Y = np.sin(4 * X)
+    a = dgp(X, Y)
+    a.train(N=20, disable=True, chunk_size=10)
+    struct = a.estimate()
+
+    b = dgp(X, Y)
+    b.update_all_layer(struct)
+    assert b.N == 0
+    # hyper-params carried over
+    np.testing.assert_allclose(b.all_layer[0][0].length,
+                               struct[0][0].length)
+    b.train(N=10, disable=True, chunk_size=10)
+    assert b.N == 10
+    emu = emulator(b.estimate(), N=3)
+    xt = np.linspace(0, 1, 20).reshape(-1, 1)
+    mu, var = emu.predict(xt)
+    assert np.all(np.isfinite(mu)) and np.all(np.isfinite(var))
+    rmse = np.sqrt(np.mean((mu - np.sin(4 * xt)) ** 2))
+    assert rmse < 0.3, rmse
+
+
 def test_aggregate_r2():
     _seed(10)
     X = np.random.uniform(size=(15, 2))

@@ -1,0 +1,104 @@
+"""Sharded (p-) prediction: outputs must match the serial path AND the test
+rows must actually be placed across >1 device of the session's 8-device CPU
+mesh (the `shard_rows` spy asserts real placement, not just API plumbing).
+"""
+import numpy as np
+import pytest
+
+from dgp_tpu import rng
+from dgp_tpu.parallel import mesh as mesh_mod
+from dgp_tpu.models.node import kernel, combine
+from dgp_tpu.models.gp import gp
+from dgp_tpu.models.dgp import dgp
+from dgp_tpu.models.emulation import emulator
+from dgp_tpu.models.linkgp import container, lgp
+
+
+def _seed(s):
+    np.random.seed(s)
+    rng.seed(s)
+
+
+@pytest.fixture
+def spy_shard_rows(monkeypatch):
+    calls = []
+    orig = mesh_mod.shard_rows
+
+    def spy(*arrays, **kw):
+        out, n = orig(*arrays, **kw)
+        mesh_mod.assert_sharded(out[0], 2)  # >1 device received a shard
+        calls.append(n)
+        return out, n
+
+    monkeypatch.setattr(mesh_mod, "shard_rows", spy)
+    return calls
+
+
+def test_gp_ppredict_dense_sharded(spy_shard_rows):
+    _seed(0)
+    n = 40
+    X = np.random.uniform(size=(n, 2))
+    Y = np.sin(3 * X[:, [0]]) + X[:, [1]]
+    m = gp(X, Y, kernel(length=np.array([0.5]), name='sexp', scale_est=True))
+    m.train()
+    xt = np.random.uniform(size=(33, 2))
+    mu_p, var_p = m.ppredict(xt)
+    mu, var = m.predict(xt)
+    assert len(spy_shard_rows) >= 1
+    np.testing.assert_allclose(mu_p, mu, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(var_p, var, rtol=1e-2, atol=1e-8)
+
+
+def test_gp_ppredict_vecchia_sharded(spy_shard_rows):
+    _seed(1)
+    n = 100
+    X = np.random.uniform(size=(n, 1))
+    Y = np.sin(5 * X)
+    m = gp(X, Y, kernel(length=np.array([0.4]), name='sexp', scale_est=True,
+                        nugget_est=True, nugget=1e-4), vecchia=True, m=12)
+    m.train()
+    xt = np.linspace(0.05, 0.95, 41).reshape(-1, 1)
+    mu_p, var_p = m.ppredict(xt, m=20)
+    mu, var = m.predict(xt, m=20)
+    assert len(spy_shard_rows) >= 1
+    np.testing.assert_allclose(mu_p, mu, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(var_p, var, rtol=1e-2, atol=1e-8)
+
+
+def test_emulator_ppredict_sharded(spy_shard_rows):
+    _seed(2)
+    n = 36
+    X = np.random.uniform(size=(n, 1))
+    Y = np.sign(X - 0.5) * np.abs(X - 0.5) ** 0.4
+    model = dgp(X, Y)
+    model.train(N=20, disable=True, chunk_size=10)
+    emu = emulator(model.estimate(), N=3)
+    xt = np.linspace(0.02, 0.98, 29).reshape(-1, 1)
+    mu_p, var_p = emu.ppredict(xt)
+    assert len(spy_shard_rows) >= 2  # every layer's program saw sharded rows
+    mu, var = emu.predict(xt)
+    np.testing.assert_allclose(mu_p, mu, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(var_p, var, rtol=1e-2, atol=1e-7)
+
+
+def test_lgp_ppredict_sharded(spy_shard_rows):
+    _seed(3)
+    n = 24
+    X = np.random.uniform(size=(n, 1))
+    Y1 = np.sin(4 * X)
+    m1 = gp(X, Y1, kernel(length=np.array([0.4]), name='sexp', scale_est=True))
+    m1.train()
+    Y2 = np.cos(2 * Y1)
+    m2 = gp(Y1, Y2, kernel(length=np.array([0.4]), name='sexp', scale_est=True))
+    m2.train()
+    c1 = container(m1.export(), local_input_idx=np.arange(1))
+    c2 = container(m2.export(), local_input_idx=np.arange(1))
+    system = lgp(combine([c1], [c2]), N=2)
+    xt = np.linspace(0, 1, 17).reshape(-1, 1)
+    mu_p, var_p = system.ppredict(xt)
+    assert len(spy_shard_rows) >= 2
+    mu, var = system.predict(xt)
+    for a, b in zip(mu_p, mu):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    for a, b in zip(var_p, var):
+        np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-7)

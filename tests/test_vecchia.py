@@ -171,6 +171,102 @@ def test_fmvn_sp_moments():
     np.testing.assert_allclose(emp, K, atol=0.25)
 
 
+@pytest.mark.parametrize("block", [16, 64, 512])
+def test_blocked_ancestral_matches_sequential(block):
+    """The blocked (I-W)^{-1} solve must equal the sequential ancestral
+    recursion exactly (same eps, same weights), including cross-block
+    dependencies and padded lanes."""
+    _seed(9)
+    n, m = 150, 12
+    X = np.random.uniform(size=(n, 2))
+    NN = vnn.nn(X, m)
+    length = jnp.asarray(np.array([0.4, 0.6]))
+    w, sigma, idx_asc, _ = vcore.cond_weights(jnp.asarray(X), jnp.asarray(NN),
+                                              length, 1e-4, 'sexp')
+    S = 3
+    eps = np.random.normal(size=(S, n)) * np.asarray(sigma)[None, :]
+    w_np, idx_np = np.asarray(w), np.asarray(idx_asc)
+    x_seq = np.zeros((S, n))
+    for i in range(n):
+        x_seq[:, i] = x_seq[:, idx_np[i]] @ w_np[i] + eps[:, i]
+    x_blk = np.asarray(vcore.ancestral_sample(jnp.asarray(eps), w, idx_asc,
+                                              block=block))
+    np.testing.assert_allclose(x_blk, x_seq, rtol=5e-6, atol=1e-8)
+
+
+def test_approx_nn_recall():
+    """IVF approximate NN (method='approx') must recover almost all of the
+    exact ordered neighbour sets on n=4096."""
+    _seed(12)
+    n, m = 4096, 10
+    X = np.random.normal(size=(n, 2))
+    exact = vnn.nn(X, m, method='exact')
+    approx = vnn.nn(X, m, method='approx')
+    hits = total = 0
+    for i in range(0, n, 7):
+        e = set(int(j) for j in exact[i] if j >= 0)
+        a = set(int(j) for j in approx[i] if j >= 0)
+        hits += len(e & a)
+        total += len(e)
+    recall = hits / total
+    assert recall > 0.95, recall
+    # unconstrained prediction-NN variant
+    Q = np.random.normal(size=(300, 2))
+    exact_p = vnn.get_pred_nn(Q, X, m, method='exact')
+    approx_p = vnn.get_pred_nn(Q, X, m, method='approx')
+    hits = sum(len(set(e) & set(a)) for e, a in zip(exact_p, approx_p))
+    assert hits / exact_p.size > 0.95
+
+
+def test_post_het_vecch_matches_dense_posterior():
+    """With full conditioning sets the stacked-Vecchia Hetero-mean sampler is
+    exact: its draws must reproduce the closed-form Gaussian posterior
+    N((S^-1+G^-1)^-1 G^-1 y, (S^-1+G^-1)^-1), S = scale*corr."""
+    _seed(10)
+    n = 12
+    X = np.random.uniform(size=(n, 1))
+    scale, length = 1.4, np.array([0.4])
+    Gamma = 0.05 + 0.1 * np.random.uniform(size=n)
+    y = np.sin(5 * X[:, 0]) + np.sqrt(Gamma) * np.random.normal(size=n)
+
+    impNN = vnn.get_pred_nn(X, X, n)[:, 1:]  # all others, self excluded
+    f = jax.jit(lambda k: vcore.post_het_vecch(
+        k, jnp.asarray(X), jnp.asarray(impNN), jnp.asarray(Gamma),
+        jnp.asarray(y), scale, jnp.asarray(length), 1e-6, 'sexp'))
+    keys = jax.random.split(jax.random.PRNGKey(3), 4000)
+    draws = np.asarray(jax.vmap(f)(keys))
+
+    S = scale * np.asarray(kops.k_cross(jnp.asarray(X), jnp.asarray(X),
+                                        jnp.asarray(length), 'sexp')) + 1e-10 * np.eye(n)
+    P = np.linalg.inv(np.linalg.inv(S) + np.diag(1.0 / Gamma))
+    mu = P @ (y / Gamma)
+    mc_tol = float(4 * np.sqrt(np.max(np.diag(P)) / 4000) + 0.02)
+    np.testing.assert_allclose(draws.mean(0), mu, atol=mc_tol)
+    np.testing.assert_allclose(np.cov(draws.T), P, atol=0.05)
+
+
+def test_hetero_vecchia_training():
+    """Hetero DGP under Vecchia: the exact-posterior Gibbs step runs through
+    the sparse stacked-Vecchia sampler and training converges."""
+    from dgp_tpu import likelihoods
+    _seed(11)
+    n = 120
+    X = np.linspace(0, 1, n).reshape(-1, 1)
+    sd = 0.05 + 0.25 * X[:, 0]
+    Y = (np.sin(2 * np.pi * X[:, 0]) + sd * np.random.normal(size=n)).reshape(-1, 1)
+    layer1 = [kernel(length=np.array([0.3]), name='sexp', nugget=1e-6,
+                     scale_est=True),
+              kernel(length=np.array([0.3]), name='sexp', nugget=1e-6,
+                     scale_est=True)]
+    layer2 = [likelihoods.Hetero()]
+    m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=15)
+    m.train(N=40, disable=True, chunk_size=20)
+    emu = emulator(m.estimate(), N=3)
+    mu, var = emu.predict(X)
+    rmse = np.sqrt(np.mean((mu[:, 0] - np.sin(2 * np.pi * X[:, 0])) ** 2))
+    assert rmse < 0.25, rmse
+
+
 def test_gp_class_vecchia_mode():
     _seed(7)
     n = 120
