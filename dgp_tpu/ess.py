@@ -24,8 +24,8 @@ import jax.numpy as jnp
 _TWO_PI = 2.0 * jnp.pi
 
 
-def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, spec=4,
-               max_steps=1000):
+def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, log_lik_angles=None,
+               spec=4, max_steps=1000):
     """One ESS transition.
 
     Args:
@@ -35,12 +35,18 @@ def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, spec=4,
         log_lik_fn: traced function mapping a candidate to a scalar log-lik.
         log_lik_multi: optional batched evaluator mapping (K,)+f.shape
             candidates to (K,) log-liks; defaults to ``vmap(log_lik_fn)``.
+        log_lik_angles: optional evaluator mapping (cos (K,), sin (K,)) to
+            (K,) log-liks of the candidates cos*f + sin*nu.  Candidates are
+            LINEAR in (f, nu), so an evaluator that precomputes gathered /
+            transformed views of f and nu once per update only needs the
+            angles -- this avoids materialising and re-gathering each
+            candidate (see CompiledDGP._angle_loglik).
         spec: number of speculative candidates per loop iteration.
 
     Returns:
         accepted candidate with the same shape as ``f``.
     """
-    if log_lik_multi is None and spec > 1:
+    if log_lik_multi is None and spec > 1 and log_lik_angles is None:
         log_lik_multi = jax.vmap(log_lik_fn)
     k_u, k_theta, k_loop = jax.random.split(key, 3)
     # minval guards against u == 0 -> log == -inf (accept-anything threshold)
@@ -88,18 +94,35 @@ def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, spec=4,
             return (th_next, lo, hi), th
 
         (theta_next, _, _), thetas = jax.lax.scan(gen, (theta, tmin, tmax), us)
-        fps = (f[None] * jnp.cos(thetas)[expand]
-               + nu[None] * jnp.sin(thetas)[expand])          # (K,)+f.shape
-        return key, thetas, theta_next, fps
+        return key, thetas, theta_next
 
-    def resolve(key, theta, tmin, tmax, thetas, theta_next, fps, lls, log_y,
+    def cand_states(thetas):
+        return (f[None] * jnp.cos(thetas)[expand]
+                + nu[None] * jnp.sin(thetas)[expand])         # (K,)+f.shape
+
+    def eval_cands(thetas, with_current):
+        """Log-liks of the candidates (optionally prepending the current
+        state as angle (1, 0) so log_y shares the launch)."""
+        if log_lik_angles is not None:
+            cos_v, sin_v = jnp.cos(thetas), jnp.sin(thetas)
+            if with_current:
+                cos_v = jnp.concatenate([jnp.ones(1, cos_v.dtype), cos_v])
+                sin_v = jnp.concatenate([jnp.zeros(1, sin_v.dtype), sin_v])
+            return log_lik_angles(cos_v, sin_v)
+        fps = cand_states(thetas)
+        if with_current:
+            fps = jnp.concatenate([f[None], fps], axis=0)
+        return log_lik_multi(fps)
+
+    def resolve(key, theta, tmin, tmax, thetas, theta_next, lls, log_y,
                 steps):
         """Pick the first accepted candidate; replay bracket shrinks for the
         rejected prefix so the carry matches the sequential sampler."""
         acc = lls > log_y                                     # (K,)
         any_acc = jnp.any(acc)
         first = jnp.argmax(acc)
-        fp = fps[first]
+        th_f = thetas[first]
+        fp = f * jnp.cos(th_f) + nu * jnp.sin(th_f)
         used = jnp.where(any_acc, first, K)
 
         def replay(carry_a, tu):
@@ -118,9 +141,9 @@ def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, spec=4,
 
     def body(carry):
         key, theta, tmin, tmax, _, _, steps = carry
-        key, thetas, theta_next, fps = gen_batch(key, theta, tmin, tmax)
-        lls = log_lik_multi(fps)
-        return resolve(key, theta, tmin, tmax, thetas, theta_next, fps, lls,
+        key, thetas, theta_next = gen_batch(key, theta, tmin, tmax)
+        lls = eval_cands(thetas, with_current=False)
+        return resolve(key, theta, tmin, tmax, thetas, theta_next, lls,
                        log_y, steps)
 
     def cond(carry):
@@ -130,12 +153,12 @@ def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, spec=4,
     # first round: fold the log_y evaluation at the CURRENT state into the
     # same batched launch as the first K candidates (one launch instead of
     # two for the common accept-in-first-batch case)
-    k_loop, thetas1, theta_next1, fps1 = gen_batch(k_loop, theta0,
-                                                   theta0 - _TWO_PI, theta0)
-    lls1 = log_lik_multi(jnp.concatenate([f[None], fps1], axis=0))
+    k_loop, thetas1, theta_next1 = gen_batch(k_loop, theta0,
+                                             theta0 - _TWO_PI, theta0)
+    lls1 = eval_cands(thetas1, with_current=True)
     log_y = lls1[0] + jnp.log(u0)
     init = resolve(k_loop, theta0, theta0 - _TWO_PI, theta0, thetas1,
-                   theta_next1, fps1, lls1[1:], log_y, jnp.asarray(0))
+                   theta_next1, lls1[1:], log_y, jnp.asarray(0))
     carry = jax.lax.while_loop(cond, body, init)
     fp, done = carry[4], carry[5]
     return jnp.where(done, fp, f)

@@ -163,6 +163,89 @@ class CompiledDGP:
             out.append(tuple(lay))
         return tuple(out)
 
+    def set_nn_state(self, nn_state):
+        """Write a (device-computed) Vecchia NN structure back into the node
+        objects (predictions/persistence read it from there)."""
+        for l, (layer, specs) in enumerate(zip(self.all_layer, self.spec)):
+            for k, (node, sp) in enumerate(zip(layer, specs)):
+                d = nn_state[l][k]
+                if d is None:
+                    continue
+                node.ord = np.asarray(d['ord'])
+                node.rev_ord = np.argsort(node.ord)
+                node.NNarray = np.asarray(d['NN'])
+                if 'impNN' in d:
+                    node.imp_NNarray = np.asarray(d['impNN'])
+
+    def supports_device_refresh(self):
+        """Device-side NN refresh covers the standard configuration: exact
+        NN search, random ordering (no custom ord_fun)."""
+        for layer, specs in zip(self.all_layer, self.spec):
+            for node, sp in zip(layer, specs):
+                if sp.kind == 'gp' and sp.vecch:
+                    if getattr(node, 'ord_fun', None) is not None:
+                        return False
+                    if getattr(node, 'nn_method', 'exact') != 'exact':
+                        return False
+        return True
+
+    def refresh_nn(self, state, key):
+        """Re-order and rebuild every vecch node's NN structure ON DEVICE
+        (the role of imputation.update_ord_nn / reference dgp.py:1388-1389)
+        as one jitted program -- no host round trips of the latent state.
+        Same-wiring isotropic nodes share one ordering (dgp.py:643-663)."""
+        plan = []  # (l, k, 'new'|'share', j, m, needs_imp)
+        for l, (layer, specs) in enumerate(zip(self.all_layer, self.spec)):
+            for k, (node, sp) in enumerate(zip(layer, specs)):
+                if not (sp.kind == 'gp' and sp.vecch):
+                    continue
+                needs_imp = getattr(node, 'imp_NNarray', None) is not None
+                share = None
+                for (lj, kj, mode_j, _, mj, imp_j) in plan:
+                    spj = self.spec[lj][kj]
+                    if (lj == l and spj.n_length == 1 and sp.n_length == 1
+                            and spj.input_dim == sp.input_dim
+                            and spj.connect == sp.connect
+                            and mj == node.m and not needs_imp and not imp_j):
+                        share = (lj, kj)
+                        break
+                plan.append((l, k, 'share' if share else 'new', share,
+                             int(node.m), needs_imp))
+        plan_t = tuple(plan)
+
+        def build():
+            from ..vecchia import nn as vnn
+
+            @jax.jit
+            def f(state, key):
+                latents, params = state
+                n_new = sum(1 for e in plan_t if e[2] == 'new')
+                keys = jax.random.split(key, max(n_new, 1))
+                built = {}
+                i = 0
+                for (l, k, mode, share, m, needs_imp) in plan_t:
+                    if mode == 'share':
+                        built[(l, k)] = built[share]
+                        continue
+                    p = params[l][k]
+                    Xn = self._node_input(l, k, latents)
+                    Xs = Xn / p['length']
+                    ordv = jax.random.permutation(keys[i], Xn.shape[0])
+                    i += 1
+                    Xo = Xs[ordv]
+                    d = {'ord': ordv.astype(jnp.int32),
+                         'NN': vnn._nn_ordered_impl(Xo, m).astype(jnp.int32)}
+                    if needs_imp:
+                        d['impNN'] = vnn._pred_nn_impl(Xo, Xo, m)[:, 1:].astype(jnp.int32)
+                    built[(l, k)] = d
+                return tuple(
+                    tuple(built.get((l, k))
+                          for k in range(len(self.spec[l])))
+                    for l in range(self.n_layer))
+            return f
+
+        return self._get_jitted('refresh' + str(plan_t), build)(state, key)
+
     def set_state(self, state):
         latents, params = state
         latents = [np.asarray(a) for a in latents]
@@ -292,8 +375,111 @@ class CompiledDGP:
             lat2 = latents[:l] + (fp,) + latents[l + 1:]
             return self._upper_loglik(l, lat2, params, nn_state)
 
-        f_new = ess_update(k_ess, f, nu, log_lik, spec=config.ESS_SPEC)
+        ll_angles = None
+        if config.ESS_SPEC > 1 and self._angle_applicable(l):
+            ll_angles = self._angle_loglik(l, latents, nu, params, nn_state)
+        f_new = ess_update(k_ess, f, nu, log_lik, log_lik_angles=ll_angles,
+                           spec=config.ESS_SPEC)
         return latents[:l] + (f_new,) + latents[l + 1:]
+
+    def _angle_applicable(self, l):
+        """The angle-combine candidate evaluator applies when every upper GP
+        node runs the fused Vecchia kernel and carries no input-dependent
+        ('ref') prior term."""
+        from ..ops import pallas_vecchia as pv
+
+        for j, sp in enumerate(self.spec[l + 1]):
+            if sp.kind != 'gp':
+                continue
+            if not sp.vecch or sp.prior_name == 'ref':
+                return False
+            if not pv.use_pallas(jnp.dtype(self.dtype),
+                                 self.all_layer[l + 1][j].m + 1):
+                return False
+        return True
+
+    def _angle_loglik(self, l, latents, nu, params, nn_state):
+        """Build an evaluator mapping ESS angles (cos (K,), sin (K,)) to the
+        upper-layer log-liks of the candidates cos*f + sin*nu.
+
+        Candidates are linear in (f, nu), so the gathered, length-scaled
+        Vecchia blocks of each upper node decompose as cos*A + sin*B + C
+        (A/B from the latent columns, C from the global columns + sentinel
+        padding).  The expensive per-candidate gathers of the generic path
+        become two gathers per UPDATE; each candidate costs one elementwise
+        combine + one fused kernel launch."""
+        from ..ops import pallas_vecchia as pv
+
+        dt = self.dtype
+        n = latents[l].shape[0]
+        pre = []
+        for j, sp in enumerate(self.spec[l + 1]):
+            if sp.kind != 'gp':
+                continue
+            p = params[l + 1][j]
+            ns = nn_state[l + 1][j]
+            dl = len(sp.input_dim)
+            dg = len(sp.connect) if sp.connect is not None else 0
+            length_full = jnp.broadcast_to(p['length'], (dl + dg,))
+            s_lat, s_glob = length_full[:dl], length_full[dl:]
+            ordv = ns['ord']
+            rev = jnp.flip(ns['NN'], axis=1)
+            validT = (rev >= 0).T
+            safeT = jnp.where(validT, rev.T, 0)
+            m1 = safeT.shape[0]
+
+            def gathT(M, s):
+                Ms = (M[ordv] / s).T                    # (d', n)
+                return jnp.swapaxes(Ms[:, safeT], 0, 1)  # (m1, d', n)
+
+            A_lat = gathT(latents[l][:, list(sp.input_dim)], s_lat)
+            B_lat = gathT(nu[:, list(sp.input_dim)], s_lat)
+            z_lat = jnp.zeros_like(A_lat)
+            if dg:
+                C_glob = gathT(self.X[:, list(sp.connect)], s_glob)
+                z_glob = jnp.zeros_like(C_glob)
+                A = jnp.concatenate([A_lat, z_glob], axis=1)
+                B = jnp.concatenate([B_lat, z_glob], axis=1)
+                C = jnp.concatenate([z_lat, C_glob], axis=1)
+            else:
+                A, B, C = A_lat, B_lat, z_lat
+            sent = (1e7 + jnp.arange(n, dtype=dt)[None, :] * 1e3
+                    + jnp.arange(m1, dtype=dt)[:, None] * 7e2)
+            vmask = validT[:, None, :]
+            A = jnp.where(vmask, A, 0.0)
+            B = jnp.where(vmask, B, 0.0)
+            C = jnp.where(vmask, C, sent[:, None, :])
+            y = self.y_final[j] if sp.is_final else latents[l + 1][:, j]
+            w_diag = self.w_diag[j] if (sp.is_final and sp.has_rep) else None
+            nd = w_diag if w_diag is not None else jnp.ones(n, dt)
+            yg = jnp.where(validT, y[ordv][safeT], 0.0)
+            diag = jnp.where(validT,
+                             1.0 + p['nugget'] * nd[ordv][safeT]
+                             + vcore._f32_jitter(jnp.dtype(dt)), 1.0)
+            pre.append((sp.name, A, B, C, yg, diag, p['scale']))
+        lik_nodes = [j for j, sp in enumerate(self.spec[l + 1])
+                     if sp.kind == 'likelihood']
+
+        def ll(cosv, sinv):
+            total = jnp.zeros(cosv.shape[0], jnp.float64)
+            for (name, A, B, C, yg, diag, scale) in pre:
+                Xg = (cosv[:, None, None, None] * A[None]
+                      + sinv[:, None, None, None] * B[None] + C[None])
+                ld, q = jax.vmap(
+                    lambda Xk: pv.block_loglik_parts_t(Xk, yg, diag, name=name)
+                )(Xg)
+                total = total - 0.5 * (
+                    linalg.sum64(ld, axis=1)
+                    + linalg.sum64(q, axis=1) / jnp.asarray(scale, jnp.float64))
+            for j in lik_nodes:
+                def one(c, s, j=j):
+                    lat2 = (latents[:l] + (c * latents[l] + s * nu,)
+                            + latents[l + 1:])
+                    return self._lik_loglik(j, lat2)
+                total = total + jax.vmap(one)(cosv, sinv)
+            return total
+
+        return ll
 
     # -- Hetero exact conditional posterior ----------------------------
     def _post_het(self, v, Gamma, y, key, rep):
@@ -629,9 +815,12 @@ class CompiledDGP:
     def _empty_nn(self):
         return tuple(tuple(None for _ in layer) for layer in self.spec)
 
-    def train_chunk(self, state, key, n_iters, ess_burn):
-        """Run n_iters full SEM iterations on device."""
-        nn_state = self.get_nn_state() if self._any_vecch() else self._empty_nn()
+    def train_chunk(self, state, key, n_iters, ess_burn, nn_state=None):
+        """Run n_iters full SEM iterations on device.  ``nn_state`` may carry
+        a device-refreshed NN structure (see refresh_nn); by default it is
+        read from the node objects."""
+        if nn_state is None:
+            nn_state = self.get_nn_state() if self._any_vecch() else self._empty_nn()
 
         def build():
             @partial(jax.jit, static_argnums=(3, 4))

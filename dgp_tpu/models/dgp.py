@@ -448,6 +448,7 @@ class dgp:
             # share traced/compiled programs
             engine = self.imp._engine()
             state = engine.get_state()
+            nn_dev = None  # device-refreshed NN structure, if any
             snapshots = [[] for _ in range(2)]  # para, r2 chunks
             done = 0
             ok = True
@@ -457,24 +458,39 @@ class dgp:
                 while done < N:
                     this = min(chunk_size, N - done)
                     if self.vecch:
-                        # stop the chunk at the next power-of-2 global
-                        # iteration so the NN structure refresh happens on
-                        # schedule (reference dgp.py:1388); keep chunk sizes
-                        # themselves powers of two so only O(log chunk_size)
-                        # distinct programs ever compile
+                        # stop chunks at the next power-of-2 global iteration
+                        # so the NN refresh happens on schedule (reference
+                        # dgp.py:1388).  Only TWO chunk programs ever
+                        # compile: size 1 (used below iteration 16 and for
+                        # remainders) and size `big` (every power-of-2
+                        # boundary >= big is a multiple of big) -- XLA
+                        # compiles per distinct chunk length, and each
+                        # compile is expensive.
+                        big = 1
+                        while big * 2 <= max(chunk_size, 1):
+                            big *= 2
                         g = N0 + done
                         nxt = 1
                         while nxt <= g:
                             nxt *= 2
                         this = min(this, nxt - g)
-                        p2 = 1
-                        while p2 * 2 <= this:
-                            p2 *= 2
-                        this = p2
+                        this = big if (g % big == 0 and this >= big) else 1
                     if first_chunk and getattr(self.all_layer[-1][0], 'name', None) == 'Categorical' and self.N == 0:
                         state = self._inflate_scales(engine, state)
+                    import os as _os
+                    import time as _time
+                    _dbg = _os.environ.get('DGP_TPU_DEBUG_TIMING')
+                    _t0 = _time.perf_counter() if _dbg else 0.0
                     state, para, r2 = engine.train_chunk(state, rng.next_key(),
-                                                         int(this), int(ess_burn))
+                                                         int(this), int(ess_burn),
+                                                         nn_state=nn_dev)
+                    if _dbg:
+                        import jax as _jax
+                        _jax.block_until_ready(state)
+                        import sys as _sys
+                        print(f"[chunk g={N0+done}+{this}: "
+                              f"{(_time.perf_counter()-_t0)*1e3:.0f} ms]",
+                              file=_sys.stderr, flush=True)
                     para = [np.asarray(p) for p in para]
                     if not all(np.all(np.isfinite(p)) for p in para):
                         ok = False
@@ -492,13 +508,19 @@ class dgp:
                     # an iteration later), including at the end of a train()
                     # call so a later call continues on schedule.
                     if self.vecch and g > 1 and (g & (g - 1)) == 0:
-                        engine.set_state(state)
-                        self.imp.update_ord_nn()
-                        state = engine.get_state()
+                        if engine.supports_device_refresh():
+                            nn_dev = engine.refresh_nn(state, rng.next_key())
+                        else:
+                            engine.set_state(state)
+                            self.imp.update_ord_nn()
+                            state = engine.get_state()
+                            nn_dev = None
             finally:
                 pgb.close()
             if ok:
                 engine.set_state(state)
+                if nn_dev is not None:
+                    engine.set_nn_state(nn_dev)
                 self._append_paths(snapshots)
                 self.N += N
                 return

@@ -185,8 +185,10 @@ def run_group(ops, lt0, lb, ub, maxfun, *, name, mode, d_max, n, use_pallas):
             nll, g, _ = fg_fn(lt, op)
             return nll, g
 
+        # history=4: the per-node problems have 1-3 parameters, so a short
+        # curvature memory loses nothing and keeps the bookkeeping ops tiny
         lt, _, _ = lbfgs.minimize(fg, lt0_i, lb_i, ub_i,
-                                  maxiter=100, maxfun=maxfun_i)
+                                  maxiter=100, maxfun=maxfun_i, history=4)
         _, scale = obj_fn(lt, op)
         ok = jnp.all(jnp.isfinite(lt)) & jnp.isfinite(scale)
         return lt, scale, ok

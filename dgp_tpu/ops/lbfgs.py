@@ -41,20 +41,19 @@ def minimize(fun, x0, lb=None, ub=None, maxiter=100, maxfun=30, history=8,
         return jnp.clip(x, lb, ub)
 
     def two_loop(g, S, Y, rho, gamma):
-        def bwd(i, carry):
-            q, alphas = carry
-            a = rho[i] * jnp.dot(S[i], q)  # rho==0 rows contribute nothing
-            return q - a * Y[i], alphas.at[i].set(a)
-
-        q, alphas = jax.lax.fori_loop(0, history, bwd, (g, jnp.zeros(history, dtype)))
+        # statically unrolled (history is small); rho==0 rows contribute
+        # nothing, so stale slots are no-ops
+        q = g
+        alphas = []
+        for i in range(history):
+            a = rho[i] * jnp.dot(S[i], q)
+            q = q - a * Y[i]
+            alphas.append(a)
         r = gamma * q
-
-        def fwd(i, r):
-            j = history - 1 - i
+        for j in range(history - 1, -1, -1):
             b = rho[j] * jnp.dot(Y[j], r)
-            return r + S[j] * (alphas[j] - b)
-
-        return jax.lax.fori_loop(0, history, fwd, r)
+            r = r + S[j] * (alphas[j] - b)
+        return r
 
     x0 = project(x0)
     f0, g0 = fun(x0)

@@ -47,9 +47,9 @@ def _x32_ctx(dtype):
 
 SQRT5 = 2.23606797749978969
 _SLAB = 1024
-# the gradient kernel holds ~2x the live temporaries; smaller slabs keep the
-# scoped VMEM footprint comfortable
-_GRAD_SLAB = 512
+# the gradient kernel's scratch is 2 x (m1, m1, B) f32; B=1024 keeps it
+# within VMEM for m <= ~40 while halving the grid steps per launch
+_GRAD_SLAB = 1024
 
 
 def _interpret():

@@ -194,6 +194,34 @@ def test_blocked_ancestral_matches_sequential(block):
     np.testing.assert_allclose(x_blk, x_seq, rtol=5e-6, atol=1e-8)
 
 
+def test_angle_loglik_matches_generic(monkeypatch):
+    """The angle-combine ESS evaluator (cos*A + sin*B + C blocks) must equal
+    the generic candidate log-lik for arbitrary angles."""
+    from dgp_tpu.ops import pallas_vecchia as pv
+    _seed(13)
+    n = 40
+    X = np.random.uniform(size=(n, 1))
+    Y = np.sin(5 * X)
+    model = dgp(X, Y, vecchia=True, m=6)
+    eng = model.imp._engine()
+    monkeypatch.setattr(pv, "use_pallas", lambda *a: True)  # interpret mode
+    nn_state = eng.get_nn_state()
+    latents, params = eng.get_state()
+    nu = jnp.asarray(np.random.normal(size=np.asarray(latents[0]).shape))
+    assert eng._angle_applicable(0)
+    ll_angles = eng._angle_loglik(0, latents, nu, params, nn_state)
+    thetas = np.array([0.0, 0.3, 2.0, -1.2])
+    lls = np.asarray(ll_angles(jnp.cos(jnp.asarray(thetas)),
+                               jnp.sin(jnp.asarray(thetas))))
+
+    f = latents[0]
+    for t, got in zip(thetas, lls):
+        fp = f * np.cos(t) + nu * np.sin(t)
+        lat2 = (fp,) + tuple(latents[1:])
+        want = float(eng._upper_loglik(0, lat2, params, nn_state))
+        np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
 def test_approx_nn_recall():
     """IVF approximate NN (method='approx') must recover almost all of the
     exact ordered neighbour sets on n=4096."""

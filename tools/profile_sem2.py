@@ -33,12 +33,21 @@ def main():
     rng = np.random.RandomState(123)
     n = 2000
     X = rng.rand(n, 1) * 2 - 1
-    Y = np.sin(7.5 * X) + 0.05 * rng.randn(n, 1)
+
+    def func(x):
+        y1 = (np.sin(7.5 * x) + 1) / 2
+        return (2 / 3 * np.sin(2 * (2 * y1 - 1))
+                + 4 / 3 * np.exp(-30 * (2 * (2 * y1 - 1)) ** 2) - 1 / 3)
+
+    Y = func(X) + 0.05 * rng.randn(n, 1)
 
     layer1 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4)]
     layer2 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
                      nugget_est=True, scale_est=True, connect=np.arange(1))]
     model = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)
+    import os
+    if os.environ.get('PROFILE_TRAINED'):
+        model.train(N=int(os.environ['PROFILE_TRAINED']), disable=True, chunk_size=16)
     eng = model.imp._engine()
     nn_state = eng.get_nn_state()
     latents, params = eng.get_state()
@@ -79,15 +88,22 @@ def main():
         lat0 = lat[0] + 0.0 * r2[0][0]
         return (lat0,) + tuple(lat[1:]), par
 
+    def body_noop(lat, par, k):
+        k1, _ = jax.random.split(k)
+        lat0 = lat[0] + 0.0 * jax.random.uniform(k1, (), lat[0].dtype)
+        return (lat0,) + tuple(lat[1:]), par
+
     full = scan16(body_full)
     istep = scan16(body_istep)
     istep1 = scan16(body_istep0)
     mstep = scan16(body_mstep)
     prior = scan16(body_prior)
     r2v = scan16(body_r2)
+    noop = scan16(body_noop)
 
-    for name, f in [("full", full), ("i_step(10)", istep), ("i_step(0)", istep1),
-                    ("m_step", mstep), ("prior_S11", prior), ("r2", r2v)]:
+    for name, f in [("noop", noop), ("full", full), ("i_step(10)", istep),
+                    ("i_step(0)", istep1), ("m_step", mstep),
+                    ("prior_S11", prior), ("r2", r2v)]:
         t = bench_fn(f, latents, params, key)
         print(f"{name:12s} {t / R * 1000:8.2f} ms/iter", flush=True)
 
