@@ -463,11 +463,8 @@ class CompiledDGP:
         def ll(cosv, sinv):
             total = jnp.zeros(cosv.shape[0], jnp.float64)
             for (name, A, B, C, yg, diag, scale) in pre:
-                Xg = (cosv[:, None, None, None] * A[None]
-                      + sinv[:, None, None, None] * B[None] + C[None])
-                ld, q = jax.vmap(
-                    lambda Xk: pv.block_loglik_parts_t(Xk, yg, diag, name=name)
-                )(Xg)
+                ld, q = pv.block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv,
+                                                name=name)
                 total = total - 0.5 * (
                     linalg.sum64(ld, axis=1)
                     + linalg.sum64(q, axis=1) / jnp.asarray(scale, jnp.float64))

@@ -44,6 +44,10 @@ class gp:
         self.n_data = self.X.shape[0]
         self.m = min(m, self.n_data - 1)
         self.ord_fun = ord_fun
+        if self.n_data >= 50_000:
+            # IVF approximate NN once exact O(n^2) search stops being free
+            # (recall-tested device path; see vecchia/nn.py)
+            self.kernel.nn_method = 'approx'
         self.initialize()
         if self.vecch:
             self.kernel.ord_nn()

@@ -56,11 +56,10 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
-    X = x_ref[...]          # (m1, d, B)
-    yv = y_ref[...]         # (m1, B)
-    diag = diag_ref[...]    # (m1, B)
-
+def _fwd_pipeline(X, yv, diag, K, L, *, m1, name):
+    """Shared per-slab pipeline: correlation block -> column Cholesky ->
+    forward substitution.  X/yv/diag are VALUES (the caller loads refs);
+    K/L are VMEM scratch refs.  Returns (logdet_row (B,), quad_row (B,))."""
     # correlation block rows (coordinates pre-scaled by the lengthscales)
     for a in range(m1):
         xa = X[a][None]                       # (1, d, B)
@@ -106,8 +105,33 @@ def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
             si = acc / L[i, i]
         sol_prev.append(si)
 
-    logdet_ref[...] = 2.0 * jnp.log(L[m1 - 1, m1 - 1])[None]
-    quad_ref[...] = (sol_prev[-1] ** 2)[None]
+    return 2.0 * jnp.log(L[m1 - 1, m1 - 1]), sol_prev[-1] ** 2
+
+
+def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
+    logdet, quad = _fwd_pipeline(x_ref[...], y_ref[...], diag_ref[...],
+                                 K, L, m1=m1, name=name)
+    logdet_ref[...] = logdet[None]
+    quad_ref[...] = quad[None]
+
+
+def _kernel_multi(a_ref, b_ref, c_ref, y_ref, diag_ref, cos_ref, sin_ref,
+                  logdet_ref, quad_ref, K, L, *, m1, name, n_cand):
+    """Evaluate n_cand ESS candidates cos*A + sin*B + C against ONE resident
+    copy of the slab data: the candidate loop runs inside the kernel, so HBM
+    traffic does not scale with the candidate count."""
+    A = a_ref[...]          # (m1, d, B)
+    Bv = b_ref[...]
+    C = c_ref[...]
+    yv = y_ref[...]
+    diag = diag_ref[...]
+    for k in range(n_cand):
+        ck = cos_ref[k, 0]
+        sk = sin_ref[k, 0]
+        X = ck * A + sk * Bv + C
+        logdet, quad = _fwd_pipeline(X, yv, diag, K, L, m1=m1, name=name)
+        logdet_ref[k] = logdet
+        quad_ref[k] = quad
 
 
 def block_loglik_parts(Xg, yg, diag, *, name):
@@ -205,6 +229,55 @@ def block_loglik_parts_t(Xg, yg, diag, *, name):
             interpret=_interpret(),
         )(Xt, yt, dt_)
     return logdet[0, :n], quad[0, :n]
+
+
+def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name):
+    """(logdet (K, n), quad (K, n)) for the K candidates cos*A + sin*B + C,
+    in ONE kernel launch (transposed layout; see _kernel_multi).
+
+    A/B/C: (m1, d, n); yg/diag: (m1, n); cosv/sinv: (K,).
+    """
+    m1, d, n = A.shape
+    K_c = cosv.shape[0]
+    Bsz = min(_SLAB, max(256, 1 << int(np.ceil(np.log2(max(n, 2))))))
+    n_pad = ((n + Bsz - 1) // Bsz) * Bsz
+    # A/B pad with zeros; C carries the sentinel columns; diag pads with 1
+    A_p, yt, dt_ = _pad_last([A, yg, diag], n, n_pad, m1, sentinel_for=-1)
+    B_p, = _pad_last([B], n, n_pad, m1, sentinel_for=-1)
+    C_p, = _pad_last([C], n, n_pad, m1, sentinel_for=0)
+
+    kern = functools.partial(_kernel_multi, m1=m1, name=name, n_cand=K_c)
+    grid = (n_pad // Bsz,)
+    cs = cosv.reshape(K_c, 1).astype(A.dtype)
+    sn = sinv.reshape(K_c, 1).astype(A.dtype)
+    with _x32_ctx(A.dtype):
+        logdet, quad = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m1, d, Bsz), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, d, Bsz), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, d, Bsz), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, Bsz), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, Bsz), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((K_c, Bsz), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_c, Bsz), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((K_c, n_pad), A.dtype),
+                jax.ShapeDtypeStruct((K_c, n_pad), A.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((m1, m1, Bsz), A.dtype),
+                pltpu.VMEM((m1, m1, Bsz), A.dtype),
+            ],
+            interpret=_interpret(),
+        )(A_p, B_p, C_p, yt, dt_, cs, sn)
+    return logdet[:, :n], quad[:, :n]
 
 
 def _grad_kernel(x_ref, y_ref, diag_ref, dnug_ref,
