@@ -36,4 +36,6 @@ CHOLESKY_JITTERS = (0.0, 1e-12, 1e-10, 1e-8, 1e-6, 1e-4)
 #: speculative candidates evaluated per ESS rejection-loop launch (the
 #: bracket recursion is deterministic under rejection, so K candidates can
 #: be checked in one batched likelihood evaluation; see dgp_tpu/ess.py).
-ESS_SPEC = 4
+#: On TPU a fused launch costs ~0.7 ms regardless of K while each extra
+#: candidate adds ~25 us, so a wide batch makes extra rejection rounds rare.
+ESS_SPEC = 8

@@ -568,8 +568,11 @@ class dgp:
                         i += 1
 
     def ptrain(self, N=500, ess_burn=10, disable=False, core_num=None):
-        """Parallel M-step training: on TPU the per-node optimisations already
-        run inside one compiled program, so this is `train`."""
+        """Parallel M-step training (reference dgp.py:1414 moves the per-node
+        optimisations into a process pool).  Here the per-node L-BFGS runs
+        are ALREADY vmapped into one device program (models/mstep.py: every
+        objective evaluation of every node shares a launch), so this is
+        `train`."""
         return self.train(N=N, ess_burn=ess_burn, disable=disable)
 
     # ------------------------------------------------------------------

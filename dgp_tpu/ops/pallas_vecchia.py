@@ -56,40 +56,44 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _fwd_pipeline(X, yv, diag, K, L, *, m1, name):
-    """Shared per-slab pipeline: correlation block -> column Cholesky ->
-    forward substitution.  X/yv/diag are VALUES (the caller loads refs);
-    K/L are VMEM scratch refs.  Returns (logdet_row (B,), quad_row (B,))."""
-    # correlation block rows (coordinates pre-scaled by the lengthscales)
-    for a in range(m1):
-        xa = X[a][None]                       # (1, d, B)
+def _fwd_pipeline(X, yv, diag, L, *, m1, name):
+    """Shared per-slab pipeline: column Cholesky with the correlation
+    columns built on the fly (no block-matrix scratch) -> forward
+    substitution.  X/yv/diag are VALUES (the caller loads refs); L is a VMEM
+    scratch ref.  Returns (logdet_row (B,), quad_row (B,))."""
+    def k_col(j):
+        """Correlation of every block row with row j (coordinates arrive
+        pre-scaled by the lengthscales), with diag[j] at position j."""
+        xj = X[j][None]                           # (1, d, B)
         if name == "sexp":
-            d2 = jnp.sum((X - xa) ** 2, axis=1)   # (m1, B)
-            K[a] = jnp.exp(-d2)
-        else:  # matern2.5
-            ad = jnp.abs(X - xa)                  # (m1, d, B)
-            # unrolled product over the (small, static) dim axis:
-            # Mosaic has no reduce_prod lowering
+            col = jnp.exp(-jnp.sum((X - xj) ** 2, axis=1))    # (m1, B)
+        else:  # matern2.5 (unrolled product: Mosaic has no reduce_prod)
+            ad = jnp.abs(X - xj)                  # (m1, d, B)
             d_dims = ad.shape[1]
             coef = 1.0 + SQRT5 * ad[:, 0] + (5.0 / 3.0) * ad[:, 0] * ad[:, 0]
             for t in range(1, d_dims):
-                coef = coef * (1.0 + SQRT5 * ad[:, t] + (5.0 / 3.0) * ad[:, t] * ad[:, t])
-            K[a] = coef * jnp.exp(-SQRT5 * jnp.sum(ad, axis=1))
-    for j in range(m1):
-        K[j, j] = diag[j]
+                coef = coef * (1.0 + SQRT5 * ad[:, t]
+                               + (5.0 / 3.0) * ad[:, t] * ad[:, t])
+            col = coef * jnp.exp(-SQRT5 * jnp.sum(ad, axis=1))
+        # static-index row replacement (at[].set lowers to scatter, which
+        # Mosaic does not implement; empty edge slices are also rejected)
+        parts = ([col[:j]] if j > 0 else []) + [diag[j][None]] \
+            + ([col[j + 1:]] if j + 1 < m1 else [])
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
     # column Cholesky, batch-vectorised
     for j in range(m1):
+        kj = k_col(j)
         if j == 0:
-            dj = jnp.sqrt(K[0, 0])
+            dj = jnp.sqrt(kj[0])
             L[0, 0] = dj
-            L[1:, 0] = K[1:, 0] / dj[None]
+            L[1:, 0] = kj[1:] / dj[None]
         else:
-            s = K[j, j] - jnp.sum(L[j, :j] ** 2, axis=0)
+            s = kj[j] - jnp.sum(L[j, :j] ** 2, axis=0)
             dj = jnp.sqrt(s)
             L[j, j] = dj
             if j + 1 < m1:
-                off = (K[j + 1:, j]
+                off = (kj[j + 1:]
                        - jnp.sum(L[j + 1:, :j] * L[j, :j][None], axis=1)) / dj[None]
                 L[j + 1:, j] = off
 
@@ -108,15 +112,15 @@ def _fwd_pipeline(X, yv, diag, K, L, *, m1, name):
     return 2.0 * jnp.log(L[m1 - 1, m1 - 1]), sol_prev[-1] ** 2
 
 
-def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, K, L, *, m1, name):
+def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, L, *, m1, name):
     logdet, quad = _fwd_pipeline(x_ref[...], y_ref[...], diag_ref[...],
-                                 K, L, m1=m1, name=name)
+                                 L, m1=m1, name=name)
     logdet_ref[...] = logdet[None]
     quad_ref[...] = quad[None]
 
 
 def _kernel_multi(a_ref, b_ref, c_ref, y_ref, diag_ref, cos_ref, sin_ref,
-                  logdet_ref, quad_ref, K, L, *, m1, name, n_cand):
+                  logdet_ref, quad_ref, L, *, m1, name, n_cand):
     """Evaluate n_cand ESS candidates cos*A + sin*B + C against ONE resident
     copy of the slab data: the candidate loop runs inside the kernel, so HBM
     traffic does not scale with the candidate count."""
@@ -129,7 +133,7 @@ def _kernel_multi(a_ref, b_ref, c_ref, y_ref, diag_ref, cos_ref, sin_ref,
         ck = cos_ref[k, 0]
         sk = sin_ref[k, 0]
         X = ck * A + sk * Bv + C
-        logdet, quad = _fwd_pipeline(X, yv, diag, K, L, m1=m1, name=name)
+        logdet, quad = _fwd_pipeline(X, yv, diag, L, m1=m1, name=name)
         logdet_ref[k] = logdet
         quad_ref[k] = quad
 
@@ -224,7 +228,6 @@ def block_loglik_parts_t(Xg, yg, diag, *, name):
             ],
             scratch_shapes=[
                 pltpu.VMEM((m1, m1, B), Xg.dtype),
-                pltpu.VMEM((m1, m1, B), Xg.dtype),
             ],
             interpret=_interpret(),
         )(Xt, yt, dt_)
@@ -272,7 +275,6 @@ def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name):
                 jax.ShapeDtypeStruct((K_c, n_pad), A.dtype),
             ],
             scratch_shapes=[
-                pltpu.VMEM((m1, m1, Bsz), A.dtype),
                 pltpu.VMEM((m1, m1, Bsz), A.dtype),
             ],
             interpret=_interpret(),
