@@ -143,6 +143,60 @@ def block_loglik_parts(Xg, yg, diag, *, name):
     return block_loglik_parts_t(Xg.transpose(1, 2, 0), yg.T, diag.T, name=name)
 
 
+def _kernel_condw(x_ref, diag_ref, w_ref, sigma_ref, L, *, m1, name):
+    """Conditional weights for ancestral sampling: factorise the block and
+    solve L_nn^T w = l_last; sigma is the final pivot (reference
+    cond_weights, the batched-XLA form in vecchia/core.py)."""
+    X = x_ref[...]
+    diag = diag_ref[...]
+    # reuse the shared pipeline's factorisation (y = 0 -> solution unused)
+    _fwd_pipeline(X, jnp.zeros_like(diag), diag, L, m1=m1, name=name)
+    m = m1 - 1
+    # backward substitution L_nn^T w = l_last (unrolled value-list form)
+    w = [None] * m
+    for i in range(m - 1, -1, -1):
+        acc = L[m1 - 1, i]
+        for j in range(i + 1, m):
+            acc = acc - L[j, i] * w[j]
+        w[i] = acc / L[i, i]
+    for i in range(m):
+        w_ref[i] = w[i]
+    sigma_ref[...] = L[m1 - 1, m1 - 1][None]
+
+
+def cond_weights_t(Xg, diag, *, name):
+    """(w (m, n), sigma (n,)) from transposed-layout blocks, one launch."""
+    m1, d, n = Xg.shape
+    B = min(_SLAB, max(256, 1 << int(np.ceil(np.log2(max(n, 2))))))
+    n_pad = ((n + B - 1) // B) * B
+    Xt, _, dt_ = _pad_last([Xg, None, diag], n, n_pad, m1)
+
+    kern = functools.partial(_kernel_condw, m1=m1, name=name)
+    grid = (n_pad // B,)
+    with _x32_ctx(Xg.dtype):
+        w, sigma = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((m1, d, B), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((m1 - 1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, B), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((m1 - 1, n_pad), Xg.dtype),
+                jax.ShapeDtypeStruct((1, n_pad), Xg.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((m1, m1, B), Xg.dtype),
+            ],
+            interpret=_interpret(),
+        )(Xt, dt_)
+    return w[:, :n], sigma[0, :n]
+
+
 def _pad_last(arrs, n, n_pad, m1, sentinel_for=0):
     """Pad the trailing point axis of transposed-layout arrays with
     decoupled sentinel columns."""

@@ -199,17 +199,24 @@ def cond_weights(X, NNarray, length, nugget, name, nugget_diag=None):
     For each ordered point i with ascending neighbour set N(i):
         x_i | x_N(i) ~ N(w_i . x_N(i), scale * sigma_i^2)
     Returns (w (n, m), sigma (n,), idx_asc (n, m), valid (n, m))."""
+    from ..ops import pallas_vecchia as pv
+
     n = X.shape[0]
     nd = jnp.ones(n, X.dtype) if nugget_diag is None else nugget_diag
-    K, _, valid = _blocks(X, jnp.zeros(n, X.dtype), NNarray, length, nugget, name, nd)
-    L = _chol_chunked(K)
-    m1 = K.shape[-1]
-    # w^T = L[-1,:-1] @ inv(L[:-1,:-1])  =>  w = solve(L[:-1,:-1]^T, L[-1,:-1])
-    L_nn = L[:, :-1, :-1]
-    l_last = L[:, -1, :-1]
-    w = linalg.bwd_solve_small(L_nn, l_last)
-    sigma = L[:, -1, -1]
     rev = jnp.flip(NNarray, axis=1)
+    valid = rev >= 0
+    if pv.use_pallas(X.dtype, NNarray.shape[1]):
+        Xg, _, diag = pv.gather_scale_t(X, jnp.zeros(n, X.dtype), NNarray,
+                                        length, nugget, nd, _f32_jitter(X.dtype))
+        w_t, sigma = pv.cond_weights_t(Xg, diag, name=name)
+        w = w_t.T
+    else:
+        K, _, _ = _blocks(X, jnp.zeros(n, X.dtype), NNarray, length, nugget,
+                          name, nd)
+        L = _chol_chunked(K)
+        # w^T = L[-1,:-1] @ inv(L[:-1,:-1]) => w = solve(L[:-1,:-1]^T, L[-1,:-1])
+        w = linalg.bwd_solve_small(L[:, :-1, :-1], L[:, -1, :-1])
+        sigma = L[:, -1, -1]
     idx_asc = jnp.where(valid, rev, 0)[:, :-1]
     w = jnp.where(valid[:, :-1], w, 0.0)
     return w, sigma, idx_asc, valid

@@ -158,6 +158,22 @@ def test_transposed_layout_matches_row_layout(name):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
 
 
+@pytest.mark.parametrize("name", ["sexp", "matern2.5"])
+def test_cond_weights_pallas_matches_xla(name, monkeypatch):
+    """The fused conditional-weights kernel (ancestral sampling precompute)
+    must reproduce the batched-XLA solve."""
+    X, y, NN, nd = _setup(n=90, seed=7)
+    length = jnp.asarray([0.5, 0.8])
+    nugget = 1e-3
+    w0, s0, i0, v0 = vcore.cond_weights(X, NN, length, nugget, name)
+    monkeypatch.setattr(pv, "use_pallas", lambda *a: True)
+    w1, s1, i1, v1 = vcore.cond_weights(X, NN, length, nugget, name)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), rtol=1e-9,
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-9)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+
+
 def test_grid_covers_multiple_slabs():
     """n larger than one slab exercises the grid path with padding."""
     X, y, NN, nd = _setup(n=1100, d=1, m=5, seed=5)
