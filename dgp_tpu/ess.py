@@ -25,8 +25,10 @@ _TWO_PI = 2.0 * jnp.pi
 
 
 def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, log_lik_angles=None,
-               spec=4, max_steps=1000):
-    """One ESS transition.
+               spec=4, max_steps=1000, return_angle=False):
+    """One ESS transition.  With ``return_angle`` the accepted ellipse angle
+    is returned as (cos, sin) -- (1, 0) when no candidate was accepted -- so
+    callers can propagate the update to linear views of the state.
 
     Args:
         key: PRNG key.
@@ -76,7 +78,11 @@ def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, log_lik_angles=None,
                 jnp.asarray(False), jnp.asarray(0))
         carry = jax.lax.while_loop(cond, body, init)
         fp, done = carry[4], carry[5]
-        return jnp.where(done, fp, f)
+        f_out = jnp.where(done, fp, f)
+        if return_angle:
+            th = jnp.where(done, carry[1], 0.0)
+            return f_out, (jnp.cos(th), jnp.sin(th))
+        return f_out
 
     K = int(spec)
     expand = (slice(None),) + (None,) * f.ndim
@@ -161,4 +167,8 @@ def ess_update(key, f, nu, log_lik_fn, log_lik_multi=None, log_lik_angles=None,
                    theta_next1, lls1[1:], log_y, jnp.asarray(0))
     carry = jax.lax.while_loop(cond, body, init)
     fp, done = carry[4], carry[5]
-    return jnp.where(done, fp, f)
+    f_out = jnp.where(done, fp, f)
+    if return_angle:
+        th = jnp.where(done, carry[1], 0.0)
+        return f_out, (jnp.cos(th), jnp.sin(th))
+    return f_out

@@ -359,7 +359,8 @@ class CompiledDGP:
         eps = jax.random.normal(key, (n, S), self.dtype)
         return (L @ eps).T
 
-    def _ess_block_layer(self, l, latents, params, nn_state, key, pre_nu=None, s=None):
+    def _ess_block_layer(self, l, latents, views, params, nn_state, key,
+                         pre_nu=None, s=None, plan=None):
         k_nu, k_ess = jax.random.split(key)
         keys = jax.random.split(k_nu, len(self.spec[l]))
         cols = []
@@ -375,12 +376,25 @@ class CompiledDGP:
             lat2 = latents[:l] + (fp,) + latents[l + 1:]
             return self._upper_loglik(l, lat2, params, nn_state)
 
-        ll_angles = None
-        if config.ESS_SPEC > 1 and self._angle_applicable(l):
-            ll_angles = self._angle_loglik(l, latents, nu, params, nn_state)
-        f_new = ess_update(k_ess, f, nu, log_lik, log_lik_angles=ll_angles,
-                           spec=config.ESS_SPEC)
-        return latents[:l] + (f_new,) + latents[l + 1:]
+        if plan is None:
+            f_new = ess_update(k_ess, f, nu, log_lik, spec=config.ESS_SPEC)
+            return latents[:l] + (f_new,) + latents[l + 1:], views
+
+        # angle path: gathered block views are maintained across sweeps
+        A_list = views[l]
+        B_list = []
+        for nd_ in plan['nodes']:
+            if nd_['B_all'] is not None:
+                B_list.append(nd_['B_all'][s])
+            else:
+                B_list.append(self._gather_latent_view(nd_, nu))
+        ll = self._plan_ll(plan, l, latents, nu, A_list, B_list)
+        f_new, (c_a, s_a) = ess_update(k_ess, f, nu, log_lik,
+                                       log_lik_angles=ll,
+                                       spec=config.ESS_SPEC, return_angle=True)
+        new_A = tuple(c_a * A + s_a * B for A, B in zip(A_list, B_list))
+        views = views[:l] + (new_A,) + views[l + 1:]
+        return latents[:l] + (f_new,) + latents[l + 1:], views
 
     def _angle_applicable(self, l):
         """The angle-combine candidate evaluator applies when every upper GP
@@ -398,21 +412,37 @@ class CompiledDGP:
                 return False
         return True
 
-    def _angle_loglik(self, l, latents, nu, params, nn_state):
-        """Build an evaluator mapping ESS angles (cos (K,), sin (K,)) to the
-        upper-layer log-liks of the candidates cos*f + sin*nu.
+    @staticmethod
+    def _gather_latent_view(nd_, M):
+        """(m1, d, n) view of M's node-input columns: ordered, gathered by
+        the node's NN sets, length-scaled, zero on invalid lanes and global
+        dims (padded to the full input dimension)."""
+        Ms = (M[nd_['ordv']][:, nd_['cols']] / nd_['s_lat']).T
+        G = jnp.swapaxes(Ms[:, nd_['safeT']], 0, 1)
+        G = jnp.where(nd_['validT'][:, None, :], G, 0.0)
+        if nd_['dg']:
+            m1, _, n = G.shape
+            G = jnp.concatenate(
+                [G, jnp.zeros((m1, nd_['dg'], n), G.dtype)], axis=1)
+        return G
 
-        Candidates are linear in (f, nu), so the gathered, length-scaled
-        Vecchia blocks of each upper node decompose as cos*A + sin*B + C
-        (A/B from the latent columns, C from the global columns + sentinel
-        padding).  The expensive per-candidate gathers of the generic path
-        become two gathers per UPDATE; each candidate costs one elementwise
-        combine + one fused kernel launch."""
-        from ..ops import pallas_vecchia as pv
+    def _build_angle_plan(self, l, latents, params, nn_state, pre_nu, S):
+        """Per-I-step static views for layer l's angle evaluator (or None).
 
+        ESS candidates are linear in (f, nu), so each upper node's gathered,
+        length-scaled Vecchia blocks decompose as cos*A + sin*B + C.  C
+        (global dims + sentinels), the block diagonals, and -- for final
+        nodes -- the gathered targets are fixed for the whole I-step; the A
+        views are initialised here and then MAINTAINED across sweeps by the
+        accepted-angle combine (A' = cos*A + sin*B), and layer-0 nu views
+        are gathered for all S sweeps in one batched gather.  Per-sweep
+        gather cost is therefore zero for final-feeding layers."""
+        if not (self.block and not self._layer_is_exact(l)
+                and config.ESS_SPEC > 1 and self._angle_applicable(l)):
+            return None
         dt = self.dtype
         n = latents[l].shape[0]
-        pre = []
+        nodes = []
         for j, sp in enumerate(self.spec[l + 1]):
             if sp.kind != 'gp':
                 continue
@@ -421,54 +451,72 @@ class CompiledDGP:
             dl = len(sp.input_dim)
             dg = len(sp.connect) if sp.connect is not None else 0
             length_full = jnp.broadcast_to(p['length'], (dl + dg,))
-            s_lat, s_glob = length_full[:dl], length_full[dl:]
             ordv = ns['ord']
             rev = jnp.flip(ns['NN'], axis=1)
             validT = (rev >= 0).T
             safeT = jnp.where(validT, rev.T, 0)
             m1 = safeT.shape[0]
-
-            def gathT(M, s):
-                Ms = (M[ordv] / s).T                    # (d', n)
-                return jnp.swapaxes(Ms[:, safeT], 0, 1)  # (m1, d', n)
-
-            A_lat = gathT(latents[l][:, list(sp.input_dim)], s_lat)
-            B_lat = gathT(nu[:, list(sp.input_dim)], s_lat)
-            z_lat = jnp.zeros_like(A_lat)
-            if dg:
-                C_glob = gathT(self.X[:, list(sp.connect)], s_glob)
-                z_glob = jnp.zeros_like(C_glob)
-                A = jnp.concatenate([A_lat, z_glob], axis=1)
-                B = jnp.concatenate([B_lat, z_glob], axis=1)
-                C = jnp.concatenate([z_lat, C_glob], axis=1)
-            else:
-                A, B, C = A_lat, B_lat, z_lat
             sent = (1e7 + jnp.arange(n, dtype=dt)[None, :] * 1e3
                     + jnp.arange(m1, dtype=dt)[:, None] * 7e2)
-            vmask = validT[:, None, :]
-            A = jnp.where(vmask, A, 0.0)
-            B = jnp.where(vmask, B, 0.0)
-            C = jnp.where(vmask, C, sent[:, None, :])
-            y = self.y_final[j] if sp.is_final else latents[l + 1][:, j]
+            nd_ = dict(name=sp.name, j=j, dl=dl, dg=dg,
+                       cols=list(sp.input_dim), ordv=ordv, safeT=safeT,
+                       validT=validT, s_lat=length_full[:dl],
+                       scale=p['scale'], is_final=sp.is_final)
+            if dg:
+                Gg = (self.X[:, list(sp.connect)][ordv] / length_full[dl:]).T
+                Cg = jnp.swapaxes(Gg[:, safeT], 0, 1)
+                C = jnp.concatenate([jnp.zeros((m1, dl, n), dt), Cg], axis=1)
+            else:
+                C = jnp.zeros((m1, dl, n), dt)
+            nd_['C'] = jnp.where(validT[:, None, :], C, sent[:, None, :])
             w_diag = self.w_diag[j] if (sp.is_final and sp.has_rep) else None
-            nd = w_diag if w_diag is not None else jnp.ones(n, dt)
-            yg = jnp.where(validT, y[ordv][safeT], 0.0)
-            diag = jnp.where(validT,
-                             1.0 + p['nugget'] * nd[ordv][safeT]
-                             + vcore._f32_jitter(jnp.dtype(dt)), 1.0)
-            pre.append((sp.name, A, B, C, yg, diag, p['scale']))
+            ndiag = w_diag if w_diag is not None else jnp.ones(n, dt)
+            nd_['diag'] = jnp.where(
+                validT, 1.0 + p['nugget'] * ndiag[ordv][safeT]
+                + vcore._f32_jitter(jnp.dtype(dt)), 1.0)
+            if sp.is_final:
+                nd_['yg'] = jnp.where(validT, self.y_final[j][ordv][safeT], 0.0)
+            else:
+                nd_['yg'] = None
+            nd_['A0'] = self._gather_latent_view(nd_, latents[l])
+            nd_['B_all'] = None
+            if pre_nu is not None and all((l, c) in pre_nu for c in nd_['cols']):
+                nu_all = jnp.stack([pre_nu[(l, c)] for c in nd_['cols']],
+                                   axis=2)              # (S, n, dl)
+                Ms = jnp.moveaxis(nu_all[:, ordv, :] / nd_['s_lat'], 1, 2)
+                G = jnp.moveaxis(Ms[:, :, safeT], 2, 1)  # (S, m1, dl, n)
+                G = jnp.where(validT[None, :, None, :], G, 0.0)
+                if dg:
+                    G = jnp.concatenate(
+                        [G, jnp.zeros((S, m1, dg, n), dt)], axis=2)
+                nd_['B_all'] = G
+            nodes.append(nd_)
         lik_nodes = [j for j, sp in enumerate(self.spec[l + 1])
                      if sp.kind == 'likelihood']
+        return dict(nodes=nodes, lik=lik_nodes)
+
+    def _plan_ll(self, plan, l, latents, nu, A_list, B_list):
+        """Angle evaluator from maintained views: (cos (K,), sin (K,)) ->
+        (K,) upper-layer log-liks of the candidates cos*f + sin*nu."""
+        from ..ops import pallas_vecchia as pv
 
         def ll(cosv, sinv):
             total = jnp.zeros(cosv.shape[0], jnp.float64)
-            for (name, A, B, C, yg, diag, scale) in pre:
-                ld, q = pv.block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv,
-                                                name=name)
+            for nd_, A, B in zip(plan['nodes'], A_list, B_list):
+                if nd_['yg'] is not None:
+                    yg = nd_['yg']
+                else:
+                    y = latents[l + 1][:, nd_['j']]
+                    yg = jnp.where(nd_['validT'],
+                                   y[nd_['ordv']][nd_['safeT']], 0.0)
+                ld, q = pv.block_loglik_multi_t(A, B, nd_['C'], yg,
+                                                nd_['diag'], cosv, sinv,
+                                                name=nd_['name'])
                 total = total - 0.5 * (
                     linalg.sum64(ld, axis=1)
-                    + linalg.sum64(q, axis=1) / jnp.asarray(scale, jnp.float64))
-            for j in lik_nodes:
+                    + linalg.sum64(q, axis=1)
+                    / jnp.asarray(nd_['scale'], jnp.float64))
+            for j in plan['lik']:
                 def one(c, s, j=j):
                     lat2 = (latents[:l] + (c * latents[l] + s * nu,)
                             + latents[l + 1:])
@@ -573,16 +621,19 @@ class CompiledDGP:
         return any(sp.kind == 'likelihood' and sp.exact_post_idx is not None
                    for sp in self.spec[l + 1])
 
-    def _sweep(self, latents, params, nn_state, key, pre_nu=None, s=None):
+    def _sweep(self, latents, views, params, nn_state, key, pre_nu=None,
+               s=None, plans=None):
         keys = jax.random.split(key, self.n_layer - 1)
         for l in range(self.n_layer - 1):
             if self.block and not self._layer_is_exact(l):
-                latents = self._ess_block_layer(l, latents, params, nn_state,
-                                                keys[l], pre_nu, s)
+                plan = plans[l] if plans is not None else None
+                latents, views = self._ess_block_layer(
+                    l, latents, views, params, nn_state, keys[l], pre_nu, s,
+                    plan)
             else:
                 latents = self._ess_nodewise_layer(l, latents, params, nn_state,
                                                    keys[l], pre_nu, s)
-        return latents
+        return latents, views
 
     def _i_step(self, latents, params, nn_state, key, burnin):
         S = burnin + 1
@@ -597,12 +648,24 @@ class CompiledDGP:
                     pre_nu[(0, k)] = self._draw_prior_node_batch(
                         0, k, latents, params, nn_state, pre_keys[k], S)
 
-        def body(lat, inp):
+        plans = tuple(
+            self._build_angle_plan(l, latents, params, nn_state,
+                                   pre_nu if l == 0 else None, S)
+            for l in range(self.n_layer - 1))
+        views0 = tuple(
+            None if plan is None else tuple(nd_['A0'] for nd_ in plan['nodes'])
+            for plan in plans)
+
+        def body(carry, inp):
+            lat, vw = carry
             s, k = inp
-            return self._sweep(lat, params, nn_state, k, pre_nu, s), None
+            lat, vw = self._sweep(lat, vw, params, nn_state, k, pre_nu, s,
+                                  plans)
+            return (lat, vw), None
 
         keys = jax.random.split(key, S)
-        latents, _ = jax.lax.scan(body, latents, (jnp.arange(S), keys))
+        (latents, _), _ = jax.lax.scan(body, (latents, views0),
+                                       (jnp.arange(S), keys))
         return latents
 
     # -- M-step ---------------------------------------------------------

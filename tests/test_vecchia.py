@@ -209,7 +209,10 @@ def test_angle_loglik_matches_generic(monkeypatch):
     latents, params = eng.get_state()
     nu = jnp.asarray(np.random.normal(size=np.asarray(latents[0]).shape))
     assert eng._angle_applicable(0)
-    ll_angles = eng._angle_loglik(0, latents, nu, params, nn_state)
+    plan = eng._build_angle_plan(0, latents, params, nn_state, None, 1)
+    A_list = [nd_['A0'] for nd_ in plan['nodes']]
+    B_list = [eng._gather_latent_view(nd_, nu) for nd_ in plan['nodes']]
+    ll_angles = eng._plan_ll(plan, 0, latents, nu, A_list, B_list)
     thetas = np.array([0.0, 0.3, 2.0, -1.2])
     lls = np.asarray(ll_angles(jnp.cos(jnp.asarray(thetas)),
                                jnp.sin(jnp.asarray(thetas))))
@@ -220,6 +223,15 @@ def test_angle_loglik_matches_generic(monkeypatch):
         lat2 = (fp,) + tuple(latents[1:])
         want = float(eng._upper_loglik(0, lat2, params, nn_state))
         np.testing.assert_allclose(got, want, rtol=1e-8)
+
+    # maintained views after an accepted angle equal a fresh gather
+    c, s = np.cos(0.7), np.sin(0.7)
+    f2 = c * f + s * nu
+    A2 = [c * A + s * B for A, B in zip(A_list, B_list)]
+    A2_fresh = [eng._gather_latent_view(nd_, f2) for nd_ in plan['nodes']]
+    for a, b in zip(A2, A2_fresh):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-10,
+                                   atol=1e-12)
 
 
 def test_approx_nn_recall():
