@@ -165,31 +165,25 @@ def run_group(ops, lt0, lb, ub, maxfun, *, name, mode, d_max, n, use_pallas):
     if mode == 'vecch' and use_pallas:
         def fg_fn(lt, op):
             return _vecch_fg_pallas(lt, op, name=name, d_max=d_max, n=n)
-
-        def obj_fn(lt, op):
-            nll, _, scale = fg_fn(lt, op)
-            return nll, scale
     else:
         nll_fn = _vecch_nll_xla if mode == 'vecch' else _dense_nll
 
-        def obj_fn(lt, op):
-            return nll_fn(lt, op, name=name, n=n)
-
         def fg_fn(lt, op):
             (nll, scale), g = jax.value_and_grad(
-                lambda t: obj_fn(t, op), has_aux=True)(lt)
+                lambda t: nll_fn(t, op, name=name, n=n), has_aux=True)(lt)
             return nll, g, scale
 
     def one(lt0_i, lb_i, ub_i, maxfun_i, op):
         def fg(lt):
-            nll, g, _ = fg_fn(lt, op)
-            return nll, g
+            return fg_fn(lt, op)
 
         # history=4: the per-node problems have 1-3 parameters, so a short
-        # curvature memory loses nothing and keeps the bookkeeping ops tiny
-        lt, _, _ = lbfgs.minimize(fg, lt0_i, lb_i, ub_i,
-                                  maxiter=100, maxfun=maxfun_i, history=4)
-        _, scale = obj_fn(lt, op)
+        # curvature memory loses nothing and keeps the bookkeeping ops tiny.
+        # The profiled scale rides along as the optimiser's aux so the
+        # objective (a large fused-kernel graph) is instantiated only once.
+        lt, _, _, scale = lbfgs.minimize(fg, lt0_i, lb_i, ub_i,
+                                         maxiter=100, maxfun=maxfun_i,
+                                         history=4, has_aux=True)
         ok = jnp.all(jnp.isfinite(lt)) & jnp.isfinite(scale)
         return lt, scale, ok
 

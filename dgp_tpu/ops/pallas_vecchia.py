@@ -120,22 +120,25 @@ def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, L, *, m1, name):
 
 
 def _kernel_multi(a_ref, b_ref, c_ref, y_ref, diag_ref, cos_ref, sin_ref,
-                  logdet_ref, quad_ref, L, *, m1, name, n_cand):
-    """Evaluate n_cand ESS candidates cos*A + sin*B + C against ONE resident
-    copy of the slab data: the candidate loop runs inside the kernel, so HBM
-    traffic does not scale with the candidate count."""
-    A = a_ref[...]          # (m1, d, B)
-    Bv = b_ref[...]
-    C = c_ref[...]
-    yv = y_ref[...]
-    diag = diag_ref[...]
-    for k in range(n_cand):
-        ck = cos_ref[k, 0]
-        sk = sin_ref[k, 0]
-        X = ck * A + sk * Bv + C
-        logdet, quad = _fwd_pipeline(X, yv, diag, L, m1=m1, name=name)
-        logdet_ref[k] = logdet
-        quad_ref[k] = quad
+                  logdet_ref, quad_ref, L, *, m1, name):
+    """Evaluate one ESS candidate cos*A + sin*B + C of a (slab, candidate)
+    grid.  The candidate axis is the FASTEST grid axis and the slab inputs'
+    index maps ignore it, so Pallas keeps the slab data VMEM-resident across
+    all candidates (HBM traffic does not scale with the candidate count)
+    while the factorisation pipeline is compiled ONCE -- unrolling the
+    candidate loop inside the kernel instead multiplies Mosaic compile time
+    by the candidate count (~300 s at K=9).  The candidate angle is selected
+    by the grid index (cos/sin and the outputs keep full-K blocks: TPU block
+    shapes cannot tile the K axis); output rows accumulate in the resident
+    block across candidate steps and flush when the slab advances."""
+    k = pl.program_id(1)
+    ck = cos_ref[k, 0]
+    sk = sin_ref[k, 0]
+    X = ck * a_ref[...] + sk * b_ref[...] + c_ref[...]
+    logdet, quad = _fwd_pipeline(X, y_ref[...], diag_ref[...],
+                                 L, m1=m1, name=name)
+    logdet_ref[k] = logdet
+    quad_ref[k] = quad
 
 
 def block_loglik_parts(Xg, yg, diag, *, name):
@@ -303,8 +306,8 @@ def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name):
     B_p, = _pad_last([B], n, n_pad, m1, sentinel_for=-1)
     C_p, = _pad_last([C], n, n_pad, m1, sentinel_for=0)
 
-    kern = functools.partial(_kernel_multi, m1=m1, name=name, n_cand=K_c)
-    grid = (n_pad // Bsz,)
+    kern = functools.partial(_kernel_multi, m1=m1, name=name)
+    grid = (n_pad // Bsz, K_c)
     cs = cosv.reshape(K_c, 1).astype(A.dtype)
     sn = sinv.reshape(K_c, 1).astype(A.dtype)
     with _x32_ctx(A.dtype):
@@ -312,17 +315,17 @@ def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name):
             kern,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((m1, d, Bsz), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((m1, d, Bsz), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((m1, d, Bsz), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((m1, Bsz), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((m1, Bsz), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_c, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, d, Bsz), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, d, Bsz), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, d, Bsz), lambda i, k: (0, 0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, Bsz), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((m1, Bsz), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_c, 1), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_c, 1), lambda i, k: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
-                pl.BlockSpec((K_c, Bsz), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K_c, Bsz), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_c, Bsz), lambda i, k: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K_c, Bsz), lambda i, k: (0, i), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((K_c, n_pad), A.dtype),
