@@ -39,3 +39,12 @@ CHOLESKY_JITTERS = (0.0, 1e-12, 1e-10, 1e-8, 1e-6, 1e-4)
 #: On TPU a fused launch costs ~0.7 ms regardless of K while each extra
 #: candidate adds ~25 us, so a wide batch makes extra rejection rounds rare.
 ESS_SPEC = 8
+
+#: cap on the per-node M-step function-evaluation budget.  The reference
+#: hands scipy L-BFGS-B maxfun = max(30, 20 + 5D) (kernel_class.py:542); in
+#: stochastic EM the M-step only needs an improvement step, not convergence,
+#: and each node re-optimisation starts warm from the previous iteration, so
+#: a tighter budget preserves the stationary behaviour (quality gated by the
+#: bench RMSE / parity suite) at roughly half the M-step cost.  Set to None
+#: to restore the reference budget exactly.
+MSTEP_MAXFUN_CAP = 16

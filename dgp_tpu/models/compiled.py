@@ -754,7 +754,10 @@ class CompiledDGP:
             lt0 = jnp.log(p['length'])
         lt0 = jnp.pad(lt0, (0, p_max - p_k))
         lb, ub = self._node_bounds(sp, p_max)
-        maxfun = jnp.asarray(max(30, 20 + 5 * sp.D), jnp.int32)
+        mf = max(30, 20 + 5 * sp.D)  # reference budget, kernel_class.py:542
+        if config.MSTEP_MAXFUN_CAP is not None:
+            mf = min(mf, int(config.MSTEP_MAXFUN_CAP))
+        maxfun = jnp.asarray(mf, jnp.int32)
         return op, lt0, lb, ub, maxfun
 
     def _m_step(self, latents, params, nn_state):

