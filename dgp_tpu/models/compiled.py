@@ -147,7 +147,17 @@ class CompiledDGP:
         return latents, params
 
     def get_nn_state(self):
-        """Per-node Vecchia ordering/neighbour arrays (None for dense nodes)."""
+        """Per-node Vecchia ordering/neighbour arrays (None for dense nodes).
+
+        The device copies are cached against the identity of the host arrays:
+        re-uploading ~n*m index arrays on every train_chunk dispatch costs a
+        host->device transfer per chunk, and the NN structure only changes at
+        the (power-of-2) refresh points."""
+        fp = tuple(getattr(node, 'nn_version', 0)
+                   for layer in self.all_layer for node in layer)
+        cached = getattr(self, '_nn_cache', None)
+        if cached is not None and cached[0] == fp:
+            return cached[1]
         out = []
         for layer, specs in zip(self.all_layer, self.spec):
             lay = []
@@ -161,7 +171,9 @@ class CompiledDGP:
                 else:
                     lay.append(None)
             out.append(tuple(lay))
-        return tuple(out)
+        out = tuple(out)
+        self._nn_cache = (fp, out)
+        return out
 
     def set_nn_state(self, nn_state):
         """Write a (device-computed) Vecchia NN structure back into the node
@@ -176,6 +188,7 @@ class CompiledDGP:
                 node.NNarray = np.asarray(d['NN'])
                 if 'impNN' in d:
                     node.imp_NNarray = np.asarray(d['impNN'])
+                node.nn_version = getattr(node, 'nn_version', 0) + 1
 
     def supports_device_refresh(self):
         """Device-side NN refresh covers the standard configuration: exact
@@ -247,7 +260,9 @@ class CompiledDGP:
         return self._get_jitted('refresh' + str(plan_t), build)(state, key)
 
     def set_state(self, state):
-        latents, params = state
+        # single pipelined transfer of the whole state tree (per-array
+        # np.asarray would pay one tunnel round-trip each)
+        latents, params = jax.device_get(state)
         latents = [np.asarray(a) for a in latents]
         for l, (layer, specs) in enumerate(zip(self.all_layer, self.spec)):
             In = None if l == 0 else latents[l - 1]

@@ -474,7 +474,9 @@ class dgp:
                         while nxt <= g:
                             nxt *= 2
                         this = min(this, nxt - g)
-                        this = big if (g % big == 0 and this >= big) else 1
+                        # a big chunk may START at any iteration -- only the
+                        # refresh boundaries (powers of 2) must not be crossed
+                        this = big if this >= big else 1
                     if first_chunk and getattr(self.all_layer[-1][0], 'name', None) == 'Categorical' and self.N == 0:
                         state = self._inflate_scales(engine, state)
                     import os as _os
@@ -522,8 +524,10 @@ class dgp:
             finally:
                 pgb.close()
             if ok:
-                snapshots = [[[np.asarray(p) for p in chunk] for chunk in snap]
-                             for snap in snapshots]
+                # one batched transfer (device_get pipelines all buffers)
+                # instead of a blocking round-trip per snapshot array
+                import jax as _jax
+                snapshots = _jax.device_get(snapshots)
                 ok = all(np.all(np.isfinite(p)) for chunk in snapshots[0]
                          for p in chunk)
             if ok:

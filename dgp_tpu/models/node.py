@@ -427,6 +427,8 @@ class kernel:
     def ord_nn(self, ord=None, NNarray=None, pointer=False):
         from ..vecchia import api as vecchia_api
         vecchia_api.ord_nn(self, ord=ord, NNarray=NNarray, pointer=pointer)
+        # invalidates compiled engines' cached device NN copies
+        self.nn_version = getattr(self, 'nn_version', 0) + 1
 
 
 def combine(*layers):
