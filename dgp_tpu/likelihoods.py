@@ -180,44 +180,11 @@ class Hetero(_LikBase):
     def sampling(f_sample):
         return np.random.normal(f_sample[:, 0], np.sqrt(np.exp(f_sample[:, 1]))).flatten()
 
-    # exact conditional posterior of the mean -------------------------
-    def posterior(self, idx, v):
-        """Draw the latent mean from its exact conditional posterior given
-        the log-variance latent and prior covariance v (likelihood_class.py:134)."""
-        if idx != 0:
-            return None
-        Gamma = np.exp(self.input[:, 1])
-        if self.rep is None:
-            return self.post_het1(v, Gamma, self.output)
-        return self.post_het2(v, Gamma, self.rep, self.output)
-
-    @staticmethod
-    def post_het1(v, Gamma, y):
-        vG = v + np.diag(Gamma)
-        L = np.linalg.cholesky(vG)
-        L1 = np.linalg.cholesky(v + 1e-10 * np.mean(np.diag(v)) * np.eye(len(v)))
-        solve = lambda b: np.linalg.solve(vG, b)
-        mu = v @ solve(y.flatten())
-        sd = np.random.randn(len(v), 2)
-        u = L1 @ sd[:, 0]
-        w = np.sqrt(Gamma) * sd[:, 1]
-        return mu + u - v @ solve(u + w)
-
-    @staticmethod
-    def post_het2(v, Gamma, rep, y):
-        N = v.shape[0]
-        GammaInv = 1.0 / Gamma
-        MGy = np.bincount(rep, weights=GammaInv * y.flatten(), minlength=N)
-        MGM = np.bincount(rep, weights=GammaInv, minlength=N)
-        invM = 1.0 / MGM
-        vM = v + np.diag(invM)
-        L1 = np.linalg.cholesky(v + 1e-10 * np.mean(np.diag(v)) * np.eye(N))
-        solve = lambda b: np.linalg.solve(vM, b)
-        mu = v @ solve(invM * MGy)
-        sd = np.random.randn(N, 2)
-        u = L1 @ sd[:, 0]
-        w = np.sqrt(invM) * sd[:, 1]
-        return mu + u - v @ solve(u + w)
+    # The exact conditional posterior of the mean (likelihood_class.py:134,
+    # post_het1/post_het2) lives in the compiled engine -- dense draw at
+    # models/compiled.py (_hetero_exact_gibbs) and the sparse Vecchia joint
+    # factor at vecchia/core.py (post_het_vecch).  `exact_post_idx` above is
+    # the dispatch flag those samplers key on.
 
 
 class NegBin(_LikBase):

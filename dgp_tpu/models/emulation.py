@@ -113,10 +113,15 @@ class emulator:
             sample_size = 1
         mean_pred, variance_pred = [], []
         likelihood_mean, likelihood_variance = [], []
-        for one_imputed in self.all_layer_set:
-            layer_means, layer_vars = self._propagate_generic(one_imputed, x, m,
-                                                              upto=self.n_layer - 1,
-                                                              sharded=sharded)
+        comp = self._compiled_propagation(x, m, sharded)
+        for i, one_imputed in enumerate(self.all_layer_set):
+            if comp is not None:
+                ens_means, ens_vars = comp
+                layer_means = [ens_means[l][i] for l in range(self.n_layer - 1)]
+                layer_vars = [ens_vars[l][i] for l in range(self.n_layer - 1)]
+            else:
+                layer_means, layer_vars = self._propagate_generic(
+                    one_imputed, x, m, upto=self.n_layer - 1, sharded=sharded)
             in_mean, in_var = layer_means[-1], layer_vars[-1]
             # final layer: must come from THIS imputation's copy
             final_imp = one_imputed[-1]
@@ -129,6 +134,15 @@ class emulator:
                 lik_var = np.empty((M, len(final_imp)))
             for k, node in enumerate(final_imp):
                 if node.type == 'gp':
+                    if comp is not None:
+                        last_m, last_v = ens_means[-1], ens_vars[-1]
+                        if isinstance(last_m, dict):
+                            lik_mean[:, k] = last_m[k][i]
+                            lik_var[:, k] = last_v[k][i]
+                        else:
+                            lik_mean[:, k] = last_m[i][:, k]
+                            lik_var[:, k] = last_v[i][:, k]
+                        continue
                     node.pred_m = m
                     z_in = x[:, node.connect] if node.connect is not None else None
                     mk, vk = node.linkgp_prediction(
@@ -192,6 +206,26 @@ class emulator:
                           for a, b in zip(likelihood_mean, likelihood_variance)))]
             return mu, sigma2
         return likelihood_mean, likelihood_variance
+
+    def _compiled_propagation(self, x, m, sharded):
+        """Propagate the whole ensemble in one device program per query chunk
+        (models/ensemble.py); returns None when the structure needs the
+        per-imputation host loop."""
+        from . import ensemble as ens_mod
+
+        if ens_mod.supported(self.all_layer_set) is not None:
+            return None
+        loo = any(getattr(node, 'loo_state', False)
+                  for layer in self.all_layer_set[0] for node in layer
+                  if node.type == 'gp')
+        vecch_sig = tuple(bool(node.vecch)
+                          for layer in self.all_layer_set[0] for node in layer
+                          if node.type == 'gp')
+        cache = getattr(self, '_ens_cache', None)
+        if cache is None or cache[0] != vecch_sig:
+            cache = (vecch_sig, ens_mod.CompiledEnsemble(self.all_layer_set))
+            self._ens_cache = cache
+        return cache[1].propagate(x, m, loo=loo, sharded=sharded)
 
     def _sampling_output(self, mean_pred, variance_pred, likelihood_mean,
                          likelihood_variance, full_layer, is_cat):

@@ -283,7 +283,13 @@ def multistart(func, initials, lb, up, args=(), method='L-BFGS-B',
         xs, fs = np.asarray(xs), np.asarray(fs)
         if not np.all(np.isfinite(fs)):
             raise FloatingPointError("non-finite multistart objective")
-    except Exception:
+    except (FloatingPointError, TypeError, ValueError) as e:
+        # non-jittable user objective (Tracer leaks raise TypeError /
+        # ConcretizationTypeError) or a non-finite device result; anything
+        # else (a genuine bug) propagates instead of silently degrading
+        import warnings
+        warnings.warn(f"multistart: device path failed ({type(e).__name__}: "
+                      f"{e}); falling back to scipy L-BFGS-B", RuntimeWarning)
         from scipy.optimize import minimize as sp_minimize, Bounds
 
         def wrapped(x, *fargs):
