@@ -75,7 +75,9 @@ def test_emulator_ppredict_sharded(spy_shard_rows):
     emu = emulator(model.estimate(), N=3)
     xt = np.linspace(0.02, 0.98, 29).reshape(-1, 1)
     mu_p, var_p = emu.ppredict(xt)
-    assert len(spy_shard_rows) >= 2  # every layer's program saw sharded rows
+    # Device-resident ensemble: ONE fused program per query chunk covers all
+    # layers and imputations, so a single shard_rows placement is correct.
+    assert len(spy_shard_rows) >= 1
     mu, var = emu.predict(xt)
     np.testing.assert_allclose(mu_p, mu, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(var_p, var, rtol=1e-2, atol=1e-7)

@@ -1,0 +1,272 @@
+"""Quality-parity matrix over the five BASELINE.json configs.
+
+Reproduces each reference demo-notebook configuration (the reference's only
+acceptance tests -- SURVEY section 4) and records RMSE/NLL/log-loss numbers
+into PARITY_r02.json at the repo root, next to the reference's published
+values where the notebooks store any:
+
+  1. step_fct.ipynb cell 3-7     : 3-layer DGP, n=10, 1-D step function
+  2. 2d_fct.ipynb cell 3-6       : 4-layer DGP, n=24, 2-D function
+  3. non_Gaussian_likelihood     : motorcycle Hetero (cells 12-17),
+                                   GP + Poisson (cells 19-21, ref NLL 1.827)
+     DGP_classification          : wine 3-class (ref log-loss 0.0590,
+                                   accuracy 1.000 vs sklearn GPC 0.456/0.972)
+  4. model_linking.ipynb 16-28   : GP -> DGP linked system via container/lgp
+  5. vecchia_SI.ipynb            : n=5000 Vecchia-SI DGP, RMSE vs truth
+
+Usage: python tools/parity.py [config ...]   (default: all)
+Configs: step, 2d, motorcycle, poisson, wine, linked, vecchia
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T0 = time.time()
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "PARITY_r02.json")
+
+
+def _log(msg):
+    print(f"[parity +{time.time()-T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def step():
+    """step_fct.ipynb cells 2-7: 3-layer sexp DGP, n=10, exact step."""
+    from dgp_tpu import dgp, kernel, combine, emulator, nb_seed
+    nb_seed(99)
+    n = 10
+    X = np.linspace(0, 1., n)[:, None]
+    f = lambda x: -1. if x < 0.5 else 1.
+    Y = np.array([f(x) for x in X]).reshape(-1, 1)
+    all_layer = combine([kernel(length=np.array([1.]), name='sexp')],
+                        [kernel(length=np.array([1.]), name='sexp')],
+                        [kernel(length=np.array([1.]), name='sexp',
+                                scale_est=True)])
+    m = dgp(X, [Y], all_layer)
+    m.train(N=500, disable=True)
+    emu = emulator(m.estimate())
+    z = np.linspace(0, 1, 300)[:, None]
+    mu, var = emu.predict(z, method='mean_var')
+    truth = np.array([f(x) for x in z]).reshape(-1, 1)
+    rmse = float(np.sqrt(np.mean((mu - truth) ** 2)))
+    rmse_train = float(np.sqrt(np.mean(
+        (emu.predict(X, method='mean_var')[0] - Y) ** 2)))
+    return {"rmse_vs_truth": round(rmse, 4),
+            "rmse_at_train_pts": round(rmse_train, 4)}
+
+
+def twod():
+    """2d_fct.ipynb cells 2-6: 4-layer sexp DGP, n=24, 2-D function."""
+    from dgp_tpu import dgp, kernel, combine, emulator, nb_seed
+    nb_seed(99)
+    f = lambda x, y: np.sin(1 / ((0.7 * x + 0.3) * (0.7 * y + 0.3)))
+    X1 = np.array([0, .02, .075, .08, .14, .15, .155, .156, .18, .22, .29,
+                   .32, .36, .37, .42, .5, .57, .63, .72, .785, .8, .84,
+                   .925, 1])
+    X2 = np.array([.29, .02, .12, .58, .38, .87, .01, .12, .22, .08, .34,
+                   .185, .64, .02, .93, .15, .42, .71, 1, 0, .21, .5,
+                   .785, .21])
+    X = np.stack((X1, X2)).T
+    Y = f(X1, X2).reshape([-1, 1])
+    k = lambda **kw: kernel(length=np.array([1]), name='sexp', **kw)
+    all_layer = combine([k(), k()],
+                        [k(connect=np.arange(2)), k(connect=np.arange(2))],
+                        [k(connect=np.arange(2)), k(connect=np.arange(2))],
+                        [k(scale_est=True, connect=np.arange(2))])
+    m = dgp(X, [Y], all_layer)
+    m.train(N=500, disable=True)
+    emu = emulator(m.estimate(), N=50)
+    z1 = np.linspace(0, 1, 100)[:, None]
+    z = np.concatenate((z1, z1), axis=1)
+    mu, var = emu.predict(z, method='mean_var')
+    rmse = float(np.sqrt(np.mean((mu.flatten() - f(z1, z1).flatten()) ** 2)))
+    return {"rmse_vs_truth_diag": round(rmse, 4)}
+
+
+def motorcycle():
+    """non_Gaussian_likelihood.ipynb cells 12-17: Hetero DGP, n=133."""
+    from dgp_tpu import dgp, kernel, combine, emulator, Hetero, nb_seed
+    nb_seed(99)
+    X = np.loadtxt('/root/reference/demo/mc_input.txt').reshape(-1, 1)
+    Y = np.loadtxt('/root/reference/demo/mc_output.txt').reshape(-1, 1)
+    X = (X - np.min(X)) / (np.max(X) - np.min(X))
+    Y = (Y - Y.mean()) / Y.std()
+    layer1 = [kernel(length=np.array([0.5]), name='sexp')]
+    layer2 = [kernel(length=np.array([0.2]), name='sexp', scale_est=True,
+                     connect=np.arange(1)) for _ in range(2)]
+    m = dgp(X, [Y], combine(layer1, layer2, [Hetero()]))
+    m.train(N=500, disable=True)
+    emu = emulator(m.estimate())
+    nll = float(np.asarray(emu.nllik(X, Y)[0]))
+    z = np.linspace(0, 1, 100)[:, None]
+    mu, var = emu.predict(z, method='mean_var')
+    return {"train_nllik": round(nll, 4),
+            "pred_var_range": [round(float(np.min(var)), 4),
+                               round(float(np.max(var)), 4)]}
+
+
+def poisson():
+    """non_Gaussian_likelihood.ipynb cells 19-21: GP + Poisson, n=90.
+    Reference prints NLL 1.827 (GP) / 1.779 (2-layer DGP)."""
+    from dgp_tpu import dgp, kernel, combine, emulator, Poisson, nb_seed
+    nb_seed(99)
+    rs = np.random.RandomState(99)
+    n = 10
+    X = np.linspace(0, .3, n)[:, None]
+    for _ in range(4):
+        X = np.concatenate((X, np.linspace(0, .3, n)[:, None]), axis=0)
+        X = np.concatenate((X, np.linspace(0.35, 1, n)[:, None]), axis=0)
+    f = lambda x: np.exp(np.exp(-1.5 * np.sin(1 / ((0.7 * 0.8 * (1.5 * x + 0.1)
+                                                    + 0.3) ** 2))))
+    Y = np.array([rs.poisson(f(x)) for x in X]).reshape(-1, 1)
+    z = np.linspace(0, 1., 200)[:, None]
+    test_Yz = np.array([rs.poisson(f(x)) for x in z]).reshape(-1, 1)
+    layer1 = [kernel(length=np.array([0.5]), name='matern2.5', scale_est=True)]
+    m = dgp(X, [Y], combine(layer1, [Poisson()]))
+    m.train(N=500, disable=True)
+    emu = emulator(m.estimate())
+    nll = float(np.asarray(emu.nllik(z, test_Yz)[0]))
+    return {"test_nllik": round(nll, 4), "reference_nllik": 1.8274}
+
+
+def wine():
+    """DGP_classification.ipynb: 3-layer DGP (13 GP / 3 GP / Categorical),
+    wine 80/20 split, seed 99, N=200, vs sklearn GPC.
+    Reference: DGP log-loss 0.0590 / accuracy 1.000; GPC 0.4563 / 0.9722."""
+    from sklearn.datasets import load_wine
+    from sklearn.preprocessing import MinMaxScaler
+    from sklearn.gaussian_process import GaussianProcessClassifier
+    from sklearn.gaussian_process.kernels import Matern
+    from sklearn.model_selection import train_test_split
+    from sklearn.metrics import log_loss, accuracy_score
+    from dgp_tpu import dgp, kernel, combine, emulator, Categorical, nb_seed
+
+    random_state = 99
+    np.random.seed(random_state)
+    nb_seed(random_state)
+    Xw, yw = load_wine(return_X_y=True)
+    Xw = MinMaxScaler().fit_transform(Xw)
+    Xtr, Xte, ytr, yte = train_test_split(Xw, yw, test_size=0.2,
+                                          random_state=random_state)
+    ker = 1.0 * Matern([1.0] * 13, nu=2.5, length_scale_bounds=(1e-5, 1e8))
+    m_gp = GaussianProcessClassifier(kernel=ker, random_state=random_state)
+    m_gp.fit(Xtr, ytr)
+    gpc_ll = float(log_loss(yte, m_gp.predict_proba(Xte)))
+    gpc_acc = float(accuracy_score(yte, m_gp.predict(Xte)))
+    _log(f'wine: sklearn GPC log-loss {gpc_ll:.4f} acc {gpc_acc:.4f}')
+
+    layer1 = [kernel(length=np.array([1]), name='matern2.5', nugget=1e-6)
+              for _ in range(Xtr.shape[1])]
+    layer2 = [kernel(length=np.array([1]), name='matern2.5', scale_est=True,
+                     nugget=1e-4, nugget_est=True) for _ in range(3)]
+    m = dgp(Xtr, ytr.reshape(-1, 1), combine(layer1, layer2, [Categorical()]))
+    m.train(N=200, disable=True)
+    emu = emulator(m.estimate())
+    prob = emu.predict(Xte)[0]
+    dgp_ll = float(log_loss(yte, prob))
+    dgp_acc = float(accuracy_score(yte, np.argmax(prob, axis=1)))
+    return {"dgp_log_loss": round(dgp_ll, 4), "dgp_accuracy": round(dgp_acc, 4),
+            "sklearn_gpc_log_loss": round(gpc_ll, 4),
+            "sklearn_gpc_accuracy": round(gpc_acc, 4),
+            "reference_dgp_log_loss": 0.0590, "reference_dgp_accuracy": 1.000}
+
+
+def linked():
+    """model_linking.ipynb cells 16-28: GP(f1) -> DGP(f2) via container/lgp."""
+    from dgp_tpu import (dgp, gp, kernel, combine, container, lgp, nb_seed)
+    nb_seed(99)
+    f1 = lambda x: (np.sin(7.5 * x) + 1) / 2
+    f2 = lambda x: (2 / 3 * np.sin(2 * (2 * x - 1))
+                    + 4 / 3 * np.exp(-30 * (2 * (2 * x - 1)) ** 2) - 1 / 3)
+    X1 = np.linspace(0, 1., 9)[:, None]
+    Y1 = f1(X1)
+    m1 = gp(X1, Y1, kernel(length=np.array([1.]), name='matern2.5',
+                           scale_est=True))
+    m1.train()
+    c1 = container(m1.export(), local_input_idx=np.array([0]))
+    X2 = np.linspace(0, 1., 11)[:, None]
+    Y2 = f2(X2)
+    all_layer = combine(
+        [kernel(length=np.array([1.]), name='matern2.5')],
+        [kernel(length=np.array([1.]), name='matern2.5', scale_est=True,
+                connect=np.arange(1))])
+    m2 = dgp(X2, [Y2], all_layer)
+    m2.train(N=500, disable=True)
+    c2 = container(m2.estimate(), local_input_idx=np.array([0]))
+    lm = lgp([[c1], [c2]])
+    z = np.linspace(0, 1, 300)[:, None]
+    ml, vl = lm.predict(z)
+    truth = f2(f1(z)).flatten()
+    rmse = float(np.sqrt(np.mean((np.asarray(ml[0]).flatten() - truth) ** 2)))
+    return {"rmse_vs_composed_truth": round(rmse, 4)}
+
+
+def vecchia():
+    """vecchia_SI.ipynb: 2-layer DGP, n=5000, Vecchia SI; RMSE vs truth."""
+    from dgp_tpu import dgp, kernel, combine, emulator, nb_seed
+    nb_seed(123)
+    rng = np.random.RandomState(123)
+
+    def func(x):
+        y1 = (np.sin(7.5 * x) + 1) / 2
+        return (2 / 3 * np.sin(2 * (2 * y1 - 1))
+                + 4 / 3 * np.exp(-30 * (2 * (2 * y1 - 1)) ** 2) - 1 / 3)
+
+    n = 5000
+    X = rng.rand(n, 1) * 2 - 1
+    Y = func(X) + 0.05 * rng.randn(n, 1)
+    all_layer = combine(
+        [kernel(length=np.array([0.5]), name='sexp')],
+        [kernel(length=np.array([0.5]), name='sexp', nugget_est=True,
+                scale_est=True, connect=np.arange(1))])
+    m = dgp(X, Y, all_layer, vecchia=True)
+    m.train(N=100, disable=True, chunk_size=16)
+    emu = emulator(m.estimate())
+    z = np.linspace(-1, 1, 2000)[:, None]
+    mu, var = emu.predict(z, method='mean_var', m=200)
+    rmse = float(np.sqrt(np.mean((mu - func(z)) ** 2)))
+    return {"rmse_vs_truth": round(rmse, 4)}
+
+
+CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
+           "poisson": poisson, "wine": wine, "linked": linked,
+           "vecchia": vecchia}
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import dgp_tpu
+    if jax.default_backend() != "cpu":
+        dgp_tpu.set_default_dtype("float32")
+
+    names = sys.argv[1:] or list(CONFIGS)
+    results = {}
+    if os.path.exists(OUT):
+        with open(OUT) as fh:
+            results = json.load(fh)
+    results.setdefault("platform", jax.default_backend())
+    for name in names:
+        _log(f'running {name}')
+        t0 = time.time()
+        try:
+            r = CONFIGS[name]()
+            r["wall_s"] = round(time.time() - t0, 1)
+            results[name] = r
+            _log(f'{name}: {r}')
+        except Exception as e:
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+            _log(f'{name} FAILED: {results[name]["error"]}')
+        with open(OUT, "w") as fh:
+            json.dump(results, fh, indent=1)
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
