@@ -854,12 +854,14 @@ class CompiledDGP:
                 G = self.X[:, list(sp.connect)]
                 G1 = jnp.concatenate([G, jnp.ones((G.shape[0], 1), self.dtype)], axis=1)
                 In = latents[l - 1][:, list(sp.input_dim)]
-                # least squares via ridge-regularised normal equations
-                # (jnp.linalg.lstsq's QR/SVD lowering is avoided on TPU)
+                # least squares via ridge-regularised normal equations,
+                # solved with Cholesky: gtg is SPD, and TPU lowers neither
+                # lstsq's QR/SVD nor f64 LuDecomposition
                 gtg = G1.T @ G1
                 eps = 1e-8 * jnp.trace(gtg) / gtg.shape[0]
-                beta = jnp.linalg.solve(gtg + eps * jnp.eye(gtg.shape[0], dtype=self.dtype),
-                                        G1.T @ In)
+                A = gtg + eps * jnp.eye(gtg.shape[0], dtype=self.dtype)
+                chol = jnp.linalg.cholesky(A)
+                beta = jax.scipy.linalg.cho_solve((chol, True), G1.T @ In)
                 resid = jnp.sum((In - G1 @ beta) ** 2, axis=0)
                 rsq = 1.0 - resid / (In.shape[0] * jnp.var(In, axis=0))
                 out.append(rsq)

@@ -32,7 +32,7 @@ def _make_data(n=60, seed=0):
     return X, Y
 
 
-@pytest.mark.parametrize("vecch", [False, True])
+@pytest.mark.parametrize("vecch", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_two_layer_equivalence(vecch):
     nb_seed(1)
     X, Y = _make_data()
@@ -50,6 +50,7 @@ def test_two_layer_equivalence(vecch):
     np.testing.assert_allclose(var_c, var_h, rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_hetero_equivalence():
     nb_seed(2)
     rng = np.random.RandomState(3)
@@ -67,6 +68,7 @@ def test_hetero_equivalence():
     np.testing.assert_allclose(var_c, var_h, rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_loo_equivalence():
     nb_seed(4)
     X, Y = _make_data(seed=5)

@@ -22,6 +22,7 @@ def test_dryrun_multichip_8_devices():
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as g
 

@@ -65,6 +65,7 @@ def test_gp_ppredict_vecchia_sharded(spy_shard_rows):
     np.testing.assert_allclose(var_p, var, rtol=1e-2, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_emulator_ppredict_sharded(spy_shard_rows):
     _seed(2)
     n = 36

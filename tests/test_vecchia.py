@@ -75,7 +75,7 @@ def test_vecchia_llik_exact_with_full_conditioning(name):
     np.testing.assert_allclose(ll_v, ll_d, rtol=1e-8)
 
 
-@pytest.mark.parametrize("scale_est", [True, False])
+@pytest.mark.parametrize("scale_est", [pytest.param(True, marks=pytest.mark.slow), False])
 def test_vecchia_nllik_exact_with_full_conditioning(scale_est):
     _seed(3)
     n = 15
@@ -285,6 +285,7 @@ def test_post_het_vecch_matches_dense_posterior():
     np.testing.assert_allclose(np.cov(draws.T), P, atol=0.05)
 
 
+@pytest.mark.slow
 def test_hetero_vecchia_training():
     """Hetero DGP under Vecchia: the exact-posterior Gibbs step runs through
     the sparse stacked-Vecchia sampler and training converges."""
@@ -307,6 +308,7 @@ def test_hetero_vecchia_training():
     assert rmse < 0.25, rmse
 
 
+@pytest.mark.slow
 def test_gp_class_vecchia_mode():
     _seed(7)
     n = 120
@@ -327,6 +329,7 @@ def test_gp_class_vecchia_mode():
     assert np.sqrt(np.mean((mu2 - np.sin(4 * np.pi * xt)) ** 2)) < 0.05
 
 
+@pytest.mark.slow
 def test_dgp_vecchia_training():
     _seed(8)
     n = 100
