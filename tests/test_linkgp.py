@@ -163,3 +163,24 @@ def test_multistart():
     best = utils.multistart(neg_branin, inits, np.array([-5.0, 0.0]),
                             np.array([10.0, 15.0]))
     assert -neg_branin(best.reshape(1, -1))[0, 0] < 0.5  # branin min = 0.398
+
+
+def test_multistart_device_path():
+    """A jax-traceable objective must run the vmapped on-device L-BFGS with
+    no scipy-fallback warning."""
+    import warnings
+    import jax.numpy as jnp
+    _seed(9)
+
+    def neg_branin(x2d):
+        x, y = x2d[:, 0], x2d[:, 1]
+        a, b, c, r, s, t = 1, 5.1 / (4 * np.pi**2), 5 / np.pi, 6, 10, 1 / (8 * np.pi)
+        val = a * (y - b * x**2 + c * x - r) ** 2 + s * (1 - t) * jnp.cos(x) + s
+        return (-val).reshape(-1, 1)
+
+    inits = np.random.uniform([-5, 0], [10, 15], size=(8, 2))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        best = utils.multistart(neg_branin, inits, np.array([-5.0, 0.0]),
+                                np.array([10.0, 15.0]))
+    assert -float(neg_branin(jnp.asarray(best.reshape(1, -1)))[0, 0]) < 0.5

@@ -238,13 +238,19 @@ CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "vecchia": vecchia}
 
 
+# Per-config working dtype.  The small dense configs are quality demos whose
+# kernel matrices (nugget 1e-6, n <= 150) need f64 factorisations -- the same
+# precision the f64-only reference uses.  The Vecchia config is the
+# performance claim and runs in float32, exactly like bench.py, so the parity
+# number gates the fast path.
+DTYPES = {"vecchia": "float32"}
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import dgp_tpu
-    if jax.default_backend() != "cpu":
-        dgp_tpu.set_default_dtype("float32")
 
     names = sys.argv[1:] or list(CONFIGS)
     results = {}
@@ -253,11 +259,14 @@ def main():
             results = json.load(fh)
     results.setdefault("platform", jax.default_backend())
     for name in names:
-        _log(f'running {name}')
+        dt = DTYPES.get(name, "float64")
+        dgp_tpu.set_default_dtype(dt)
+        _log(f'running {name} ({dt})')
         t0 = time.time()
         try:
             r = CONFIGS[name]()
             r["wall_s"] = round(time.time() - t0, 1)
+            r["dtype"] = dt
             results[name] = r
             _log(f'{name}: {r}')
         except Exception as e:
