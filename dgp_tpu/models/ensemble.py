@@ -112,6 +112,21 @@ class CompiledEnsemble:
             cols = [self.y_stack[l][k] for k in range(len(self.set0[l]))]
             self.F.append(jnp.stack(cols, axis=2))      # (N, n, width)
         self._progs = {}
+        # Per-query live-buffer estimate for DENSE linked layers: each dense
+        # gp node above layer 0 builds per-query (n, n) J-moment tensors for
+        # all N imputations in flight ((Mc, n, n) batched per imputation).
+        # Vecchia nodes only hold (m+1)^2 blocks per query and never
+        # dominate.  propagate() divides a fixed memory budget by this to
+        # bound the chunk size (the wine config -- 3 dense linked nodes,
+        # n=142, N=50, f64 -- would otherwise allocate >100 GB at Mc=2048).
+        itemsize = jnp.dtype(dt).itemsize
+        per_q = 0
+        for l in range(1, self.n_layer):
+            for k, nd in enumerate(self.spec[l]):
+                if nd['kind'] == 'gp' and not nd['vecch']:
+                    n_tr = self.y_stack[l][k].shape[1]
+                    per_q += 3 * self.N * n_tr * n_tr * itemsize
+        self._dense_link_bytes_per_query = per_q
 
     # ------------------------------------------------------------------
     def _node_train_inputs(self, l, nd):
@@ -249,8 +264,16 @@ class CompiledEnsemble:
         # one fixed chunk size: a single compiled program serves every query
         # count; measured on a v5e-1 at the bench config (20k queries, N=5,
         # m=50), 2048 beats 4096/8192 (36.1k vs 33.2k/27.6k pts/s): less
-        # padding waste and the chunk dispatches pipeline over the link
+        # padding waste and the chunk dispatches pipeline over the link.
+        # Dense linked layers bound the chunk by memory instead (see
+        # _dense_link_bytes_per_query); the value depends only on the model
+        # structure, so there is still exactly one compiled program.
         Mc = _CHUNK
+        if self._dense_link_bytes_per_query:
+            budget = int(1.5e9)
+            fit = budget // self._dense_link_bytes_per_query
+            while Mc > 32 and Mc > fit:
+                Mc //= 2
         key = (m_pred, loo, Mc, sharded)
         if key not in self._progs:
             self._progs[key] = self._build(m_pred, loo, Mc)

@@ -245,37 +245,75 @@ CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
 # number gates the fast path.
 DTYPES = {"vecchia": "float32"}
 
+# Per-config platform.  The f64 demo configs run on CPU: that is the
+# reference's own platform (Numba/OpenBLAS, f64-only), native f64 is both
+# faster and more robust than TPU f64 emulation for these tiny-n problems,
+# and the quality numbers are platform-independent.  The Vecchia config is
+# the TPU fast path and must run where the bench runs.
+PLATFORMS = {"vecchia": "tpu"}
 
-def main():
+
+def _run_one(name):
+    """Run a single config in this process and print its result JSON."""
     import jax
+    # env JAX_PLATFORMS alone does not reliably switch off the axon TPU
+    # plugin in this environment; force the platform through jax.config.
+    if PLATFORMS.get(name, "cpu") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_bench")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import dgp_tpu
 
+    dt = DTYPES.get(name, "float64")
+    dgp_tpu.set_default_dtype(dt)
+    t0 = time.time()
+    r = CONFIGS[name]()
+    r["wall_s"] = round(time.time() - t0, 1)
+    r["dtype"] = dt
+    r["platform"] = jax.default_backend()
+    print("PARITY_RESULT " + json.dumps(r))
+
+
+def main():
+    # Each config runs in its own subprocess so a device-runtime crash in one
+    # cannot take down the rest, and so each can pick its own platform.
+    import subprocess
     names = sys.argv[1:] or list(CONFIGS)
     results = {}
     if os.path.exists(OUT):
         with open(OUT) as fh:
             results = json.load(fh)
-    results.setdefault("platform", jax.default_backend())
+    results.pop("platform", None)  # legacy global field
     for name in names:
-        dt = DTYPES.get(name, "float64")
-        dgp_tpu.set_default_dtype(dt)
-        _log(f'running {name} ({dt})')
-        t0 = time.time()
-        try:
-            r = CONFIGS[name]()
-            r["wall_s"] = round(time.time() - t0, 1)
-            r["dtype"] = dt
-            results[name] = r
-            _log(f'{name}: {r}')
-        except Exception as e:
-            results[name] = {"error": f"{type(e).__name__}: {e}"[:300]}
-            _log(f'{name} FAILED: {results[name]["error"]}')
+        plat = PLATFORMS.get(name, "cpu")
+        _log(f'running {name} ({DTYPES.get(name, "float64")}, {plat})')
+        env = dict(os.environ)
+        if plat == "cpu":
+            env["JAX_PLATFORMS"] = "cpu"
+        else:
+            env.pop("JAX_PLATFORMS", None)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--run", name],
+            env=env, capture_output=True, text=True, timeout=3600)
+        out = {}
+        for line in proc.stdout.splitlines():
+            if line.startswith("PARITY_RESULT "):
+                out = json.loads(line[len("PARITY_RESULT "):])
+        if out:
+            results[name] = out
+            _log(f'{name}: {out}')
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            msg = tail[-1] if tail else f"rc={proc.returncode}"
+            results[name] = {"error": msg[:300]}
+            _log(f'{name} FAILED: {msg[:300]}')
         with open(OUT, "w") as fh:
             json.dump(results, fh, indent=1)
     print(json.dumps(results, indent=1))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--run":
+        _run_one(sys.argv[2])
+    else:
+        main()

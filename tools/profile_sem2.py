@@ -31,7 +31,7 @@ def main():
 
     nb_seed(123)
     rng = np.random.RandomState(123)
-    n = 2000
+    n = int(os.environ.get("PROFILE_N", 2000))
     X = rng.rand(n, 1) * 2 - 1
 
     def func(x):
@@ -45,7 +45,6 @@ def main():
     layer2 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
                      nugget_est=True, scale_est=True, connect=np.arange(1))]
     model = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)
-    import os
     if os.environ.get('PROFILE_TRAINED'):
         model.train(N=int(os.environ['PROFILE_TRAINED']), disable=True, chunk_size=16)
     eng = model.imp._engine()
