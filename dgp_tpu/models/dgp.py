@@ -514,6 +514,7 @@ class dgp:
                     # an iteration later), including at the end of a train()
                     # call so a later call continues on schedule.
                     if self.vecch and g > 1 and (g & (g - 1)) == 0:
+                        _tr = _time.perf_counter() if _dbg else 0.0
                         if engine.supports_device_refresh():
                             nn_dev = engine.refresh_nn(state, rng.next_key())
                         else:
@@ -521,13 +522,28 @@ class dgp:
                             self.imp.update_ord_nn()
                             state = engine.get_state()
                             nn_dev = None
+                        if _dbg:
+                            import sys as _sys
+                            print(f"[refresh g={g}: "
+                                  f"{(_time.perf_counter()-_tr)*1e3:.0f} ms "
+                                  f"dev={engine.supports_device_refresh()}]",
+                                  file=_sys.stderr, flush=True)
             finally:
                 pgb.close()
             if ok:
                 # one batched transfer (device_get pipelines all buffers)
                 # instead of a blocking round-trip per snapshot array
                 import jax as _jax
+                import os as _os
+                import time as _time
+                _dbg = _os.environ.get('DGP_TPU_DEBUG_TIMING')
+                _t0 = _time.perf_counter() if _dbg else 0.0
                 snapshots = _jax.device_get(snapshots)
+                if _dbg:
+                    import sys as _sys
+                    print(f"[snapshots fetch: "
+                          f"{(_time.perf_counter()-_t0)*1e3:.0f} ms]",
+                          file=_sys.stderr, flush=True)
                 ok = all(np.all(np.isfinite(p)) for chunk in snapshots[0]
                          for p in chunk)
             if ok:

@@ -343,3 +343,67 @@ def test_dgp_vecchia_training():
     mu, var = emu.predict(xt)
     rmse = np.sqrt(np.mean((mu - yt) ** 2))
     assert rmse < 0.25, rmse
+
+
+def test_approx_nn_device_matches_host():
+    """The jit-traceable device IVF build (used by the engine's in-program
+    NN refresh) must reproduce the host `_nn_approx` exactly; its fused
+    imputation-pointer variant must be a valid self-excluding unconstrained
+    m-NN with high recall vs the exact search."""
+    import jax
+    import jax.numpy as jnp
+
+    _seed(13)
+    n, m = 3000, 15
+    X = np.random.uniform(size=(n, 2)).astype(np.float32)
+    host = vnn._nn_approx(X, m, ordered=True)
+    dev, imp = jax.jit(
+        lambda xs: vnn.nn_approx_dev(xs, m, impute=True))(jnp.asarray(X))
+    np.testing.assert_array_equal(host, np.asarray(dev))
+    imp = np.asarray(imp)
+    assert imp.shape == (n, m)
+    assert (imp != np.arange(n)[:, None]).all()  # self excluded
+    assert ((imp >= 0) & (imp < n)).all()
+    exact = np.asarray(vnn._pred_nn_impl(jnp.asarray(X), jnp.asarray(X),
+                                         m + 1))[:, 1:]
+    rows = np.arange(0, n, 7)
+    hits = sum(len(set(imp[i]) & set(exact[i])) for i in rows)
+    assert hits / (len(rows) * m) > 0.95
+
+
+def test_device_refresh_supports_approx():
+    """An approx-NN model must take the device refresh path and produce a
+    consistent nn_state (ordered layout, valid prefix structure)."""
+    import jax
+
+    _seed(14)
+    n = 1200  # > 4 * _BLOCK so the approx path engages
+    X = np.random.rand(n, 1) * 2 - 1
+    Y = np.sin(4 * X) + 0.05 * np.random.randn(n, 1)
+    from dgp_tpu.models.dgp import dgp
+    from dgp_tpu.models.node import kernel, combine
+    m = dgp(X, Y, combine(
+        [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4)],
+        [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
+                nugget_est=True, scale_est=True, connect=np.arange(1))]),
+        vecchia=True, m=10)
+    for layer in m.all_layer:
+        for nd in layer:
+            if getattr(nd, 'vecch', False):
+                nd.nn_method = 'approx'
+    eng = m.imp._engine()
+    assert eng.supports_device_refresh()
+    state = eng.get_state()
+    nn_state = eng.refresh_nn(state, jax.random.PRNGKey(0))
+    for l, layer in enumerate(nn_state):
+        for d in layer:
+            if d is None:
+                continue
+            NN = np.asarray(d['NN'])
+            ordv = np.asarray(d['ord'])
+            assert NN.shape == (n, 11)
+            assert sorted(ordv.tolist()) == list(range(n))
+            # reference layout: row i leads with i, descending, -1 padded
+            assert (NN[:, 0] == np.arange(n)).all()
+            valid = NN >= 0
+            assert (NN[valid] <= np.arange(n).repeat(valid.sum(1))).all()
