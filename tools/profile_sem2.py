@@ -27,6 +27,11 @@ def main():
     import dgp_tpu
     if jax.default_backend() != "cpu":
         dgp_tpu.set_default_dtype("float32")
+    from dgp_tpu import config as dcfg
+    if os.environ.get("PROFILE_ESS_SPEC"):
+        dcfg.ESS_SPEC = int(os.environ["PROFILE_ESS_SPEC"])
+    if os.environ.get("PROFILE_MSTEP_CAP"):
+        dcfg.MSTEP_MAXFUN_CAP = int(os.environ["PROFILE_MSTEP_CAP"])
     from dgp_tpu import dgp, kernel, combine, nb_seed
 
     nb_seed(123)
