@@ -40,11 +40,28 @@ CHOLESKY_JITTERS = (0.0, 1e-12, 1e-10, 1e-8, 1e-6, 1e-4)
 #: candidate adds ~25 us, so a wide batch makes extra rejection rounds rare.
 ESS_SPEC = 8
 
+#: speculative width for LARGE models (n >= ESS_SPEC_LARGE_THRESHOLD).  At
+#: n=1e5 each candidate's fused-kernel pass costs real compute (~0.6 GFLOP),
+#: so a narrower batch wins even with occasional extra rejection rounds:
+#: measured on a v5e-1 at n=1e5, K=4 runs the I-step ~12% faster than K=8
+#: while K=16 is ~25% slower.
+ESS_SPEC_LARGE = 4
+ESS_SPEC_LARGE_THRESHOLD = 50_000
+
+
+def ess_spec(n):
+    """Speculative ESS width for a model with n data points."""
+    return ESS_SPEC_LARGE if n >= ESS_SPEC_LARGE_THRESHOLD else ESS_SPEC
+
 #: cap on the per-node M-step function-evaluation budget.  The reference
 #: hands scipy L-BFGS-B maxfun = max(30, 20 + 5D) (kernel_class.py:542); in
 #: stochastic EM the M-step only needs an improvement step, not convergence,
 #: and each node re-optimisation starts warm from the previous iteration, so
 #: a tighter budget preserves the stationary behaviour (quality gated by the
-#: bench RMSE / parity suite) at roughly half the M-step cost.  Set to None
-#: to restore the reference budget exactly.
+#: bench RMSE / parity suite) at roughly half the M-step cost.  16 is the
+#: measured floor: at cap=8 a nugget_est node initialised far below its
+#: optimum (the 1e-6 default vs a ~1e-2 noise level at n=5000) cannot climb
+#: out before the scale estimate degenerates (vecchia_SI parity RMSE 2.23
+#: vs 0.013 at cap=16).  Set to None to restore the reference budget
+#: exactly.
 MSTEP_MAXFUN_CAP = 16

@@ -405,7 +405,8 @@ class CompiledDGP:
             return self._upper_loglik(l, lat2, params, nn_state)
 
         if plan is None:
-            f_new = ess_update(k_ess, f, nu, log_lik, spec=config.ESS_SPEC)
+            f_new = ess_update(k_ess, f, nu, log_lik,
+                               spec=config.ess_spec(f.shape[0]))
             return latents[:l] + (f_new,) + latents[l + 1:], views
 
         # angle path: gathered block views are maintained across sweeps
@@ -419,7 +420,8 @@ class CompiledDGP:
         ll = self._plan_ll(plan, l, latents, nu, A_list, B_list)
         f_new, (c_a, s_a) = ess_update(k_ess, f, nu, log_lik,
                                        log_lik_angles=ll,
-                                       spec=config.ESS_SPEC, return_angle=True)
+                                       spec=config.ess_spec(f.shape[0]),
+                                       return_angle=True)
         new_A = tuple(c_a * A + s_a * B for A, B in zip(A_list, B_list))
         views = views[:l] + (new_A,) + views[l + 1:]
         return latents[:l] + (f_new,) + latents[l + 1:], views
@@ -466,7 +468,8 @@ class CompiledDGP:
         are gathered for all S sweeps in one batched gather.  Per-sweep
         gather cost is therefore zero for final-feeding layers."""
         if not (self.block and not self._layer_is_exact(l)
-                and config.ESS_SPEC > 1 and self._angle_applicable(l)):
+                and config.ess_spec(latents[l].shape[0]) > 1
+                and self._angle_applicable(l)):
             return None
         dt = self.dtype
         n = latents[l].shape[0]
@@ -641,7 +644,8 @@ class CompiledDGP:
                         total = total + self._lik_loglik(j, lat2)
                 return total
 
-            f_new = ess_update(k_ess, f, nu, log_lik, spec=config.ESS_SPEC)
+            f_new = ess_update(k_ess, f, nu, log_lik,
+                               spec=config.ess_spec(f.shape[0]))
             latents = latents[:l] + (latents[l].at[:, k].set(f_new),) + latents[l + 1:]
         return latents
 

@@ -127,6 +127,23 @@ class CompiledEnsemble:
                     n_tr = self.y_stack[l][k].shape[1]
                     per_q += 3 * self.N * n_tr * n_tr * itemsize
         self._dense_link_bytes_per_query = per_q
+        self._itemsize = itemsize
+
+    def _bytes_per_query(self, m_pred):
+        """Worst-case live bytes per query point in the chunk program: dense
+        linked layers hold (n, n) J-moments per imputation; Vecchia layers
+        hold (m+1, m+1) blocks (kernel block + factor + jitter-ladder copies
+        + linked J/solve temps: ~8 such arrays live at the XLA peak)."""
+        per_q = self._dense_link_bytes_per_query
+        for l in range(self.n_layer):
+            for k, nd in enumerate(self.spec[l]):
+                if nd['kind'] == 'gp' and nd['vecch']:
+                    m_eff = min(m_pred, self.y_stack[l][k].shape[1]) + 1
+                    # ~4 live (m+1)^2 arrays per node at the XLA peak
+                    # (calibrated against a measured 19.4G peak at
+                    # m=200, N=10, Mc=2048)
+                    per_q += 4 * self.N * m_eff * m_eff * self._itemsize
+        return per_q
 
     # ------------------------------------------------------------------
     def _node_train_inputs(self, l, nd):
@@ -269,9 +286,10 @@ class CompiledEnsemble:
         # _dense_link_bytes_per_query); the value depends only on the model
         # structure, so there is still exactly one compiled program.
         Mc = _CHUNK
-        if self._dense_link_bytes_per_query:
+        per_q = self._bytes_per_query(m_pred)
+        if per_q:
             budget = int(1.5e9)
-            fit = budget // self._dense_link_bytes_per_query
+            fit = budget // per_q
             while Mc > 32 and Mc > fit:
                 Mc //= 2
         key = (m_pred, loo, Mc, sharded)
