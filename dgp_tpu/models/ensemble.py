@@ -174,7 +174,7 @@ class CompiledEnsemble:
             nn = vnn._pred_nn_impl(q, w, m_eff)
             return nn[:, 1:] if loo else nn
 
-        def prog(x):
+        def prog(x, extra_jit):
             in_mean = in_var = None
             means, vars_ = [], []
             for l in range(self.n_layer):
@@ -200,7 +200,8 @@ class CompiledEnsemble:
                             mk, vk = jax.vmap(
                                 lambda yi: vcore.gp_vecch(
                                     xq, W, NN, yi, nd['scale'], nd['length'],
-                                    nd['nugget'], nd['nug_diag'], nd['name'])
+                                    nd['nugget'], nd['nug_diag'], nd['name'],
+                                    extra_jit)
                             )(y)
                         else:
                             Rinv, _ = gp_core.compute_stats(
@@ -231,7 +232,8 @@ class CompiledEnsemble:
                                     mi, vi, z, w1,
                                     gw1 if z is not None else None,
                                     NN, yi, nd['scale'], nd['length'],
-                                    nd['nugget'], nd['nug_diag'], nd['name'])
+                                    nd['nugget'], nd['nug_diag'], nd['name'],
+                                    extra_jit)
 
                             mk, vk = jax.vmap(per_imp)(m_in, v_in, W, y)
                         else:
@@ -296,7 +298,8 @@ class CompiledEnsemble:
         if key not in self._progs:
             self._progs[key] = self._build(m_pred, loo, Mc)
         prog = self._progs[key]
-        outs = []
+        outs, xcs = [], []
+        extra0 = jnp.asarray(0.0, self.dtype)
         for s in range(0, M, Mc):
             xc = x[s:s + Mc]
             if xc.shape[0] < Mc:
@@ -304,11 +307,29 @@ class CompiledEnsemble:
                     [xc, np.broadcast_to(x[-1:], (Mc - xc.shape[0], x.shape[1]))])
             if sharded:
                 from ..parallel import mesh
-                (xc_s,), _ = mesh.shard_rows(jnp.asarray(xc))
-                outs.append(prog(xc_s))
+                (xc_d,), _ = mesh.shard_rows(jnp.asarray(xc))
             else:
-                outs.append(prog(jnp.asarray(xc)))
+                xc_d = jnp.asarray(xc)
+            xcs.append(xc_d)
+            outs.append(prog(xc_d, extra0))
         outs = jax.device_get(outs)           # one pipelined transfer
+
+        # host-level jitter escalation: an f32 prediction block larger than
+        # the training m can factorise non-finite when the estimated nugget
+        # sits at its floor.  Re-dispatch only failed chunks with a larger
+        # traced diagonal (same compiled program) and keep healthy entries.
+        def _ok(t):
+            return all(np.isfinite(leaf).all() for leaf in jax.tree.leaves(t))
+
+        for extra in (3e-4, 3e-3):
+            bad_idx = [i for i, o in enumerate(outs) if not _ok(o)]
+            if not bad_idx:
+                break
+            for i in bad_idx:
+                o2 = jax.device_get(
+                    prog(xcs[i], jnp.asarray(extra, self.dtype)))
+                outs[i] = jax.tree.map(
+                    lambda a, b: np.where(np.isfinite(a), a, b), outs[i], o2)
 
         def cat(parts):
             return np.concatenate(parts, axis=1)[:, :M]

@@ -110,30 +110,60 @@ def _make_vecch_maximise(name, n_length, scale_est, nugget_est, prior_name,
 
 @lru_cache(maxsize=None)
 def _make_gp_vecch(name):
-    def f(x, w, NNarray, y, scale, length, nugget, nugget_diag):
+    def f(x, w, NNarray, y, scale, length, nugget, nugget_diag, extra_jit):
         return core.gp_vecch(x, w, NNarray, y, scale, length, nugget,
-                             nugget_diag, name)
+                             nugget_diag, name, extra_jit)
 
-    return jax.jit(f)
+    return _with_jitter_retry(jax.jit(f))
 
 
 @lru_cache(maxsize=None)
 def _make_link_gp_vecch(name, has_z):
-    def f(m, v, z, w1, gw1, NNarray, y, scale, length, nugget, nugget_diag):
+    def f(m, v, z, w1, gw1, NNarray, y, scale, length, nugget, nugget_diag,
+          extra_jit):
         return core.link_gp_vecch(m, v, z if has_z else None, w1,
                                   gw1 if has_z else None, NNarray, y, scale,
-                                  length, nugget, nugget_diag, name)
+                                  length, nugget, nugget_diag, name, extra_jit)
 
-    return jax.jit(f)
+    return _with_jitter_retry(jax.jit(f))
 
 
 @lru_cache(maxsize=None)
 def _make_loo_vecch(name):
-    def f(x, NNarray, y, scale, length, nugget, nugget_diag):
+    def f(x, NNarray, y, scale, length, nugget, nugget_diag, extra_jit):
         return core.loo_gp_vecch(x, NNarray, y, scale, length, nugget,
-                                 nugget_diag, name)
+                                 nugget_diag, name, extra_jit)
 
-    return jax.jit(f)
+    return _with_jitter_retry(jax.jit(f))
+
+
+#: host-level jitter-escalation rungs for f32 prediction blocks whose
+#: factorisation comes out non-finite (e.g. pred_m=200 with a nugget at the
+#: 1e-6 floor).  Host-side so the healthy fast path pays nothing: escalation
+#: re-dispatches the SAME compiled program with a larger traced diagonal and
+#: keeps the healthy rows.
+_JITTER_RUNGS = (3e-4, 3e-3)
+
+
+def _with_jitter_retry(f):
+    """Wrap a jitted (mean, var) prediction program (last arg: extra_jit)
+    with the host-level escalation."""
+    def g(*args):
+        dt = args[0].dtype
+        mean, var = f(*args, jnp.asarray(0.0, dt))
+        mean, var = np.asarray(mean), np.asarray(var)
+        bad = ~(np.isfinite(mean) & np.isfinite(var))
+        for extra in _JITTER_RUNGS:
+            if not bad.any():
+                break
+            m2, v2 = f(*args, jnp.asarray(extra, dt))
+            m2, v2 = np.asarray(m2), np.asarray(v2)
+            mean = np.where(bad, m2, mean)
+            var = np.where(bad, v2, var)
+            bad = ~(np.isfinite(mean) & np.isfinite(var))
+        return mean, var
+
+    return g
 
 
 # ----------------------------------------------------------------------

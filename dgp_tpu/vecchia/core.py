@@ -62,31 +62,6 @@ def _chol_chunked(K, chunk=8192):
     return jax.lax.map(linalg.chol_small, K, batch_size=chunk)
 
 
-def _chol_chunked_ladder(K):
-    """_chol_chunked with a conditional jitter ladder for PREDICTION blocks.
-
-    Prediction conditioning sets can be much larger than the training m
-    (e.g. m=200 in demo/vecchia_SI.ipynb), and when the estimated nugget is
-    at the 1e-6 floor a float32 factorisation of a near-singular
-    (m+1)x(m+1) correlation block can go non-finite even with the fixed
-    _f32_jitter floor.  The escalation runs only when some block actually
-    failed (lax.cond), refactorises at a larger diagonal, and keeps the
-    original factor for every healthy block, so the common case costs one
-    extra finiteness reduction and nothing else."""
-    L = _chol_chunked(K)
-    eye = jnp.eye(K.shape[-1], dtype=K.dtype)
-    for extra in (3e-4, 3e-3):
-        bad = ~jnp.isfinite(L.reshape(L.shape[0], -1)).all(axis=1)
-
-        def redo(operand, extra=extra):
-            L0, bad0 = operand
-            L2 = _chol_chunked(K + extra * eye[None])
-            return jnp.where(bad0[:, None, None], L2, L0)
-
-        L = jax.lax.cond(bad.any(), redo, lambda op: op[0], (L, bad))
-    return L
-
-
 def vecchia_llik(X, y, NNarray, scale, length, nugget, nugget_diag, name):
     """Vecchia log-likelihood at fixed params (reference vecchia_llik).
 
@@ -417,17 +392,25 @@ def _pred_blocks(x, w_train, NNarray, y, length, nugget, nugget_diag, name):
     return K, yi
 
 
-def gp_vecch(x, w_train, NNarray, y, scale, length, nugget, nugget_diag, name):
-    """Batched Vecchia GP prediction (reference gp_vecch)."""
+def gp_vecch(x, w_train, NNarray, y, scale, length, nugget, nugget_diag, name,
+             extra_jit=0.0):
+    """Batched Vecchia GP prediction (reference gp_vecch).
+
+    ``extra_jit`` is an additional diagonal used by the callers' host-level
+    jitter-escalation retry (prediction blocks can be much larger than the
+    training m, where the fixed f32 floor may not suffice); it is a traced
+    scalar so the retry reuses the same compiled program."""
     K, yi = _pred_blocks(x, w_train, NNarray, y, length, nugget, nugget_diag, name)
-    L = _chol_chunked_ladder(K)
+    K = K + extra_jit * jnp.eye(K.shape[-1], dtype=K.dtype)
+    L = _chol_chunked(K)
     Ly = linalg.fwd_solve_small(L[:, :-1, :-1], yi)
     mean = jnp.einsum('ij,ij->i', L[:, -1, :-1], Ly)
     var = scale * L[:, -1, -1] ** 2
     return mean, var
 
 
-def loo_gp_vecch(x, NNarray, y, scale, length, nugget, nugget_diag, name):
+def loo_gp_vecch(x, NNarray, y, scale, length, nugget, nugget_diag, name,
+                 extra_jit=0.0):
     """Batched LOO under Vecchia (reference loo_gp_vecch): NNarray rows are
     self-inclusive NN (self first); the block is reversed so self sits last
     and is predicted from the others."""
@@ -442,7 +425,8 @@ def loo_gp_vecch(x, NNarray, y, scale, length, nugget, nugget_diag, name):
     eye = jnp.eye(K.shape[-1], dtype=K.dtype)
     K = jnp.where(both, K, eye)
     K = kops.set_diag(K, jnp.where(valid, 1.0 + nug + _f32_jitter(K.dtype), 1.0))
-    L = _chol_chunked_ladder(K)
+    K = K + extra_jit * jnp.eye(K.shape[-1], dtype=K.dtype)
+    L = _chol_chunked(K)
     Ly = linalg.fwd_solve_small(L[:, :-1, :-1], yi[:, :-1])
     mean = jnp.einsum('ij,ij->i', L[:, -1, :-1], Ly)
     var = scale * L[:, -1, -1] ** 2
@@ -450,7 +434,7 @@ def loo_gp_vecch(x, NNarray, y, scale, length, nugget, nugget_diag, name):
 
 
 def link_gp_vecch(m, v, z, w1, global_w1, NNarray, y, scale, length, nugget,
-                  nugget_diag, name):
+                  nugget_diag, name, extra_jit=0.0):
     """Batched linked-GP prediction under Vecchia (reference link_gp_vecch):
     per test point, closed-form I/J moments over its conditioning set."""
     from ..ops import moments
@@ -463,7 +447,7 @@ def link_gp_vecch(m, v, z, w1, global_w1, NNarray, y, scale, length, nugget,
     valid = NNarray >= 0
     safe = jnp.where(valid, NNarray, 0)
 
-    def one(i, extra_jit=0.0):
+    def one(i):
         idx = safe[i]
         ok = valid[i]
         wi = w1[idx]
@@ -499,18 +483,4 @@ def link_gp_vecch(m, v, z, w1, global_w1, NNarray, y, scale, length, nugget,
 
     # vmapped (not lax.map'ed) so the row axis stays data-parallel and can be
     # sharded across devices by GSPMD; intermediates are (M, m+1, m+1).
-    mu, var = jax.vmap(one)(jnp.arange(m.shape[0]))
-    # conditional jitter ladder (see _chol_chunked_ladder): prediction blocks
-    # at large m can defeat the fixed f32 floor; recompute only failed rows
-    for extra in (3e-4, 3e-3):
-        bad = ~(jnp.isfinite(mu) & jnp.isfinite(var))
-
-        def redo(operand, extra=extra):
-            mu0, var0, bad0 = operand
-            mu2, var2 = jax.vmap(lambda i: one(i, extra))(
-                jnp.arange(m.shape[0]))
-            return jnp.where(bad0, mu2, mu0), jnp.where(bad0, var2, var0)
-
-        mu, var = jax.lax.cond(bad.any(), redo, lambda op: (op[0], op[1]),
-                               (mu, var, bad))
-    return mu, var
+    return jax.vmap(one)(jnp.arange(m.shape[0]))
