@@ -407,3 +407,34 @@ def test_device_refresh_supports_approx():
             assert (NN[:, 0] == np.arange(n)).all()
             valid = NN >= 0
             assert (NN[valid] <= np.arange(n).repeat(valid.sum(1))).all()
+
+
+def test_host_jitter_retry_merges_failed_rows():
+    """The host-level jitter escalation must re-dispatch with escalating
+    extra_jit and keep healthy rows from the first pass."""
+    from dgp_tpu.vecchia import api
+
+    calls = []
+
+    def fake_prog(x, extra):
+        calls.append(float(extra))
+        mean = np.array([1.0, np.nan, 3.0])
+        var = np.array([0.1, 0.2, 0.3])
+        if float(extra) > 0:
+            mean = np.array([-1.0, 2.0, -3.0])  # healthy rows must NOT take these
+        return mean, var
+
+    g = api._with_jitter_retry(fake_prog)
+    mean, var = g(np.zeros((3, 1), np.float32))
+    np.testing.assert_array_equal(mean, [1.0, 2.0, 3.0])
+    np.testing.assert_array_equal(var, [0.1, 0.2, 0.3])
+    assert calls == [0.0, pytest.approx(3e-4)]
+
+    def healthy_prog(x, extra):
+        calls.append(float(extra))
+        return np.ones(3), np.ones(3)
+
+    calls.clear()
+    g2 = api._with_jitter_retry(healthy_prog)
+    g2(np.zeros((3, 1), np.float32))
+    assert calls == [0.0]  # no escalation dispatches on the healthy path
