@@ -438,9 +438,15 @@ class dgp:
             for o, node in zip(old, self.all_layer[-2]):
                 node.scale = o
 
-    def train(self, N=500, ess_burn=10, disable=False, chunk_size=25):
+    def train(self, N=500, ess_burn=10, disable=False, chunk_size=25,
+              sharded=False):
         """SEM training: chunks of iterations run as single device programs;
-        restarts on numerical divergence mirror dgp.py:1402-1412."""
+        restarts on numerical divergence mirror dgp.py:1402-1412.
+
+        ``sharded=True`` row-shards the latent state over the available
+        device mesh so GSPMD partitions every chunk program across chips
+        (data parallelism over the batched per-point blocks); on a single
+        device it is a no-op."""
         N0 = self.N
         restarts, max_restarts = 0, 3
         while True:
@@ -448,6 +454,9 @@ class dgp:
             # share traced/compiled programs
             engine = self.imp._engine()
             state = engine.get_state()
+            if sharded:
+                from ..parallel import mesh as pmesh
+                state = pmesh.shard_latent_state(state)
             nn_dev = None  # device-refreshed NN structure, if any
             snapshots = [[] for _ in range(2)]  # para, r2 chunks
             done = 0
@@ -597,12 +606,14 @@ class dgp:
                         i += 1
 
     def ptrain(self, N=500, ess_burn=10, disable=False, core_num=None):
-        """Parallel M-step training (reference dgp.py:1414 moves the per-node
+        """Parallel training (reference dgp.py:1414 moves the per-node M-step
         optimisations into a process pool).  Here the per-node L-BFGS runs
         are ALREADY vmapped into one device program (models/mstep.py: every
-        objective evaluation of every node shares a launch), so this is
-        `train`."""
-        return self.train(N=N, ess_burn=ess_burn, disable=disable)
+        objective evaluation of every node shares a launch), and on a
+        multi-chip mesh the latent rows are additionally sharded across
+        devices (`core_num` caps nothing -- XLA owns the chips)."""
+        return self.train(N=N, ess_burn=ess_burn, disable=disable,
+                          sharded=True)
 
     # ------------------------------------------------------------------
     # diagnostics / estimates

@@ -51,6 +51,25 @@ def shard_rows(*arrays, mesh=None):
     return tuple(out), n
 
 
+def shard_latent_state(state, mesh=None):
+    """Row-shard a CompiledDGP (latents, params) state over the mesh.
+
+    Latent layers are (n, width) arrays whose leading axis is the data axis
+    the whole SEM program is batched over; placing them with a ('data', None)
+    sharding makes GSPMD partition every chunk program (ESS candidate
+    evaluations, batched M-step factorisations, NN refresh) across devices,
+    inserting the log-lik psum reductions and boundary gathers
+    automatically.  Params are tiny and stay replicated.  Single-device
+    sessions get the state back untouched."""
+    latents, params = state
+    if mesh is None:
+        mesh = device_mesh()
+    if mesh.devices.size == 1:
+        return state
+    sh = NamedSharding(mesh, P(mesh.axis_names[0], None))
+    return tuple(jax.device_put(a, sh) for a in latents), params
+
+
 def trim_rows(out, n):
     """Undo shard_rows padding on every array in a result pytree."""
     return jax.tree_util.tree_map(lambda o: np.asarray(o)[:n], out)

@@ -105,3 +105,36 @@ def test_lgp_ppredict_sharded(spy_shard_rows):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
     for a, b in zip(var_p, var):
         np.testing.assert_allclose(a, b, rtol=1e-2, atol=1e-7)
+
+
+def test_ptrain_shards_latent_rows(monkeypatch):
+    """dgp.ptrain row-shards the latent state over the mesh and trains to a
+    sane fit; the spy asserts real multi-device placement of the latents."""
+    _seed(11)
+    calls = []
+    orig = mesh_mod.shard_latent_state
+
+    def spy(state, mesh=None):
+        out = orig(state, mesh)
+        mesh_mod.assert_sharded(out[0][0], 2)
+        calls.append(True)
+        return out
+
+    monkeypatch.setattr(mesh_mod, "shard_latent_state", spy)
+    n = 64
+    X = np.random.rand(n, 1) * 2 - 1
+    Y = np.sin(4 * X) + 0.05 * np.random.randn(n, 1)
+    m = dgp(X, Y, combine(
+        [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4)],
+        [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
+                nugget_est=True, scale_est=True, connect=np.arange(1))]),
+        vecchia=True, m=8)
+    m.ptrain(N=6, disable=True)
+    assert calls  # sharding path actually ran
+    pp = np.asarray(m.all_layer[1][0].para_path)
+    assert np.isfinite(pp).all()
+    emu = emulator(m.estimate(), N=3)
+    z = np.linspace(-1, 1, 100)[:, None]
+    mu, var = emu.predict(z, m=16)
+    rmse = float(np.sqrt(np.mean((mu - np.sin(4 * z)) ** 2)))
+    assert rmse < 0.3, rmse
