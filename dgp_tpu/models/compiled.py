@@ -194,7 +194,11 @@ class CompiledDGP:
     def supports_device_refresh(self):
         """Device-side NN refresh covers the standard configurations: exact
         NN search and IVF approximate search (both have fully on-device
-        builds), random ordering (no custom ord_fun)."""
+        builds), random ordering (no custom ord_fun).  Above ~200k points
+        the refresh falls back to the host path, whose IVF queries dispatch
+        in bounded chunks: a single very long query program over a huge
+        gather source can crash the TPU runtime worker (see
+        vecchia/nn._QUERY_CHUNK)."""
         for layer, specs in zip(self.all_layer, self.spec):
             for node, sp in zip(layer, specs):
                 if sp.kind == 'gp' and sp.vecch:
@@ -202,6 +206,8 @@ class CompiledDGP:
                         return False
                     if getattr(node, 'nn_method', 'exact') not in (
                             'exact', 'approx', 'hnsw', 'ivf'):
+                        return False
+                    if node.input.shape[0] > 200_000:
                         return False
         return True
 

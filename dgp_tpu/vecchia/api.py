@@ -28,7 +28,10 @@ def ord_nn(node, ord=None, NNarray=None, pointer=False):
     node.rev_ord = np.argsort(node.ord)
     if NNarray is None:
         X = _scaled_input(node)
-        node.NNarray = nnmod.nn(X[node.ord], node.m, method=node.nn_method)
+        if not hasattr(node, '_ivf_cache'):
+            node._ivf_cache = {}
+        node.NNarray = nnmod.nn(X[node.ord], node.m, method=node.nn_method,
+                                cache=node._ivf_cache)
     else:
         node.NNarray = np.asarray(NNarray)
     if pointer:

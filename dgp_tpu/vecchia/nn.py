@@ -61,14 +61,14 @@ def _nn_ordered_impl(x, m):
 NATIVE_NN_THRESHOLD = 32768
 
 
-def nn(x, m, method='exact', size=40, efSearch=100, n_jobs=-1):
+def nn(x, m, method='exact', size=40, efSearch=100, n_jobs=-1, cache=None):
     """Ordered nearest neighbours (reference vecchia.nn).  ``method`` in
     {'exact', 'approx'} ('hnsw'/'ivf' are accepted aliases for 'approx')."""
     x = np.asarray(x)
     n = x.shape[0]
     m = min(m, n - 1)
     if method in ('approx', 'hnsw', 'ivf') and n > 4 * _BLOCK:
-        return _nn_approx(x, int(m), ordered=True)
+        return _nn_approx(x, int(m), ordered=True, cache=cache)
     if n >= NATIVE_NN_THRESHOLD:
         from .. import native
         out = native.nn_ordered(x, int(m))
@@ -114,21 +114,30 @@ def get_pred_nn(query, x, m=50, method='exact', size=40, efSearch=100, n_jobs=-1
 # approximate (IVF) search
 # ----------------------------------------------------------------------
 @partial(jax.jit, static_argnums=(1, 2))
-def _kmeans_fit(x, K, iters):
+def _kmeans_fit(x, K, iters, cent0=None):
     """Lloyd k-means on device: assignments via blocked distance matmuls,
-    centroid updates via segment sums.  Returns (centroids, assign)."""
+    centroid updates via segment sums.  Returns (centroids, assign).
+    ``cent0`` warm-starts the fit (e.g. from the previous NN refresh --
+    the latent distribution drifts slowly, so a couple of refinement
+    passes suffice instead of a cold fit)."""
     n = x.shape[0]
-    cent0 = x[(jnp.arange(K) * (n // K)) % n]
+    if cent0 is None:
+        cent0 = x[(jnp.arange(K) * (n // K)) % n]
 
     def assign_all(cent):
-        n_pad = ((n + _BLOCK - 1) // _BLOCK) * _BLOCK
+        # wide assignment blocks: the per-block work is one (B, K) distance
+        # matmul + argmin, tiny at B=256 (a 1e6-point fit spent ~185 s on
+        # map-iteration overhead); B=4096 keeps the matmul small (<= 32 MB
+        # distance tile at K~2000) and cuts the block count 16x
+        B = 16 * _BLOCK
+        n_pad = ((n + B - 1) // B) * B
         xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
 
         def one_block(b):
-            Q = jax.lax.dynamic_slice(xp, (b * _BLOCK, 0), (_BLOCK, x.shape[1]))
+            Q = jax.lax.dynamic_slice(xp, (b * B, 0), (B, x.shape[1]))
             return jnp.argmin(_sq_dists_block(Q, cent), axis=1)
 
-        out = jax.lax.map(one_block, jnp.arange(n_pad // _BLOCK))
+        out = jax.lax.map(one_block, jnp.arange(n_pad // B))
         return out.reshape(n_pad)[:n]
 
     def step(cent, _):
@@ -199,22 +208,17 @@ def _ivf_query_self_both(x, cent, buckets, m, P):
             [buckets[cl].reshape(_BLOCK, -1), q_idx[:, None]], axis=1)
         ok = cand >= 0
         safe = jnp.where(ok, cand, 0)
-        Xc = x[safe]
-        d2 = jnp.sum((Xc - Q[:, None, :]) ** 2, axis=-1)
         # self appears both in its bucket copy and as the appended column;
         # knock out the bucket copy so neither masking double-counts it
         dup = cand == q_idx[:, None]
         dup = dup.at[:, -1].set(False)
         base_ok = ok & ~dup
 
-        def top(mask):
-            dm = jnp.where(mask, d2, big)
-            neg_d, sel = jax.lax.top_k(-dm, m + 1)
-            idx = jnp.take_along_axis(safe, sel, axis=1)
-            return jnp.where(-neg_d < big / 2, idx, -1)
-
-        ordered = top(base_ok & (cand <= q_idx[:, None]))
-        unconstrained = top(base_ok)
+        res = _topk_candidates_multi(
+            Q, x, safe, [base_ok & (cand <= q_idx[:, None]), base_ok],
+            m + 1, big)
+        ordered, unconstrained = [
+            jnp.where(-nd < big / 2, idx, -1) for nd, idx in res]
         return ordered, unconstrained
 
     o, u = jax.lax.map(one_block, jnp.arange(n_pad // _BLOCK))
@@ -240,10 +244,46 @@ def nn_approx_dev(x, m, impute=False):
     return ordered, jnp.where(imp >= 0, imp, 0)[:, 1:]
 
 
+
+def _topk_candidates_multi(Q, x, safe, masks, k, big, seg=4096):
+    """Top-k nearest candidates by squared distance under one or more
+    validity masks, segmented so no single gather or lax.top_k exceeds
+    `seg` lanes: at n=1e6 the flat candidate list is P*Lmax = 16k wide, and
+    one monolithic gather + top_k at that width crashes the TPU runtime
+    (worker kernel fault).  Per segment: ONE gather + distance matrix,
+    shared across all masks, then a local top-k per mask; finally a top-k
+    over each mask's concatenated local winners.  Returns a list of
+    (neg_dist, idx) pairs, one per mask."""
+    C = safe.shape[1]
+    parts = [([], []) for _ in masks]
+    for s0 in range(0, C, seg):
+        c = safe[:, s0:s0 + seg]
+        Xc = x[c]
+        d2b = jnp.sum((Xc - Q[:, None, :]) ** 2, axis=-1)
+        for j, mask in enumerate(masks):
+            d2 = jnp.where(mask[:, s0:s0 + seg], d2b, big)
+            nd, sel = jax.lax.top_k(-d2, min(k, c.shape[1]))
+            parts[j][0].append(nd)
+            parts[j][1].append(jnp.take_along_axis(c, sel, axis=1))
+    out = []
+    for ds, cs in parts:
+        nd = jnp.concatenate(ds, axis=1)
+        ci = jnp.concatenate(cs, axis=1)
+        nd2, sel2 = jax.lax.top_k(nd, min(k, nd.shape[1]))
+        out.append((nd2, jnp.take_along_axis(ci, sel2, axis=1)))
+    return out
+
+
+def _topk_candidates(Q, x, safe, ok, k, big, seg=4096):
+    """Single-mask convenience wrapper over _topk_candidates_multi."""
+    return _topk_candidates_multi(Q, x, safe, [ok], k, big, seg)[0]
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6))
-def _ivf_query(q, x, cent, buckets, m, P, ordered):
+def _ivf_query(q, x, cent, buckets, m, P, ordered, q0=0):
     """Cluster-restricted exact top-k: candidates = the P nearest buckets
-    (plus the query itself when ordered).  Returns (idx (nq, m), valid)."""
+    (plus the query itself when ordered).  `q0` is the global row index of
+    q's first row (host-chunked calls).  Returns (idx (nq, m), valid)."""
     nq, d = q.shape
     big = jnp.asarray(jnp.finfo(x.dtype).max / 8, x.dtype)
     n_pad = ((nq + _BLOCK - 1) // _BLOCK) * _BLOCK
@@ -251,7 +291,7 @@ def _ivf_query(q, x, cent, buckets, m, P, ordered):
 
     def one_block(b):
         Q = jax.lax.dynamic_slice(qp, (b * _BLOCK, 0), (_BLOCK, d))
-        q_idx = b * _BLOCK + jnp.arange(_BLOCK)
+        q_idx = q0 + b * _BLOCK + jnp.arange(_BLOCK)
         d2c = _sq_dists_block(Q, cent)                     # (B, K)
         _, cl = jax.lax.top_k(-d2c, P)                     # (B, P)
         cand = buckets[cl].reshape(_BLOCK, -1)             # (B, P*Lmax)
@@ -263,11 +303,7 @@ def _ivf_query(q, x, cent, buckets, m, P, ordered):
             cand = jnp.concatenate([cand, q_idx[:, None]], axis=1)
             ok = jnp.concatenate([ok, jnp.ones((_BLOCK, 1), bool)], axis=1)
         safe = jnp.where(ok, cand, 0)
-        Xc = x[safe]                                       # (B, C, d)
-        d2 = jnp.sum((Xc - Q[:, None, :]) ** 2, axis=-1)
-        d2 = jnp.where(ok, d2, big)
-        neg_d, sel = jax.lax.top_k(-d2, m)
-        idx = jnp.take_along_axis(safe, sel, axis=1)
+        neg_d, idx = _topk_candidates(Q, x, safe, ok, m, big)
         valid = -neg_d < big / 2
         return jnp.where(valid, idx, -1)
 
@@ -275,18 +311,47 @@ def _ivf_query(q, x, cent, buckets, m, P, ordered):
     return out.reshape(n_pad, m)[:nq]
 
 
-def _ivf_build(x, n):
+def _ivf_build(x, n, cache=None):
+    """Build the IVF index; ``cache`` (a mutable dict, e.g. stored on the
+    model node across NN refreshes) warm-starts k-means from the previous
+    centroids, cutting the dominant large-n fit cost roughly in half."""
     K, Lmax = _ivf_params(n)
-    cent, assign = _kmeans_fit(jnp.asarray(x), K, 6)
+    cent0 = None if cache is None else cache.get('cent')
+    if cent0 is not None and cent0.shape == (K, x.shape[1]):
+        cent, assign = _kmeans_fit(jnp.asarray(x), K, 2, cent0)
+    else:
+        cent, assign = _kmeans_fit(jnp.asarray(x), K, 6)
+    if cache is not None:
+        cache['cent'] = np.asarray(cent)  # np: keeps model pickling clean
     buckets = _buckets_np(np.asarray(assign), K, Lmax)
     return cent, jnp.asarray(buckets)
 
 
-def _nn_approx(x, m, ordered=True, P=16):
+#: host-side query-chunk size for the IVF search.  One long-running query
+#: program over a very large gather source (measured: 600k queries against a
+#: 1e6-point index, ~2300 fused blocks in one dispatch) can crash the TPU
+#: runtime worker; dispatching the same blocks as ~128k-query chunks is
+#: equally fast (per-dispatch overhead is amortised over 512 blocks) and
+#: keeps every program comfortably inside the runtime's envelope.
+_QUERY_CHUNK = 131072
+
+
+def _query_chunks(q0, q, x, cent, buckets, m, P, ordered):
+    """Host-chunked _ivf_query: global row offset q0 keeps the ordered
+    (predecessors-only) masking correct across chunks."""
+    outs = []
+    for s0 in range(0, q.shape[0], _QUERY_CHUNK):
+        qc = q[s0:s0 + _QUERY_CHUNK]
+        outs.append(np.asarray(_ivf_query(
+            qc, x, cent, buckets, m, P, ordered, q0 + s0)))
+    return np.concatenate(outs, axis=0)
+
+
+def _nn_approx(x, m, ordered=True, P=16, cache=None):
     n = x.shape[0]
-    cent, buckets = _ivf_build(x, n)
-    out = np.asarray(_ivf_query(jnp.asarray(x), jnp.asarray(x), cent, buckets,
-                                m + 1, P, True))
+    cent, buckets = _ivf_build(x, n, cache)
+    out = _query_chunks(0, jnp.asarray(x), jnp.asarray(x), cent, buckets,
+                        m + 1, P, True)
     # descending index order with -1s at the tail (reference layout)
     return np.flip(np.sort(out, axis=1), axis=1)
 
@@ -294,7 +359,7 @@ def _nn_approx(x, m, ordered=True, P=16):
 def _pred_nn_approx(query, x, m, P=16):
     n = x.shape[0]
     cent, buckets = _ivf_build(x, n)
-    out = np.asarray(_ivf_query(jnp.asarray(query), jnp.asarray(x), cent,
-                                buckets, m, P, False))
+    out = _query_chunks(0, jnp.asarray(query), jnp.asarray(x), cent,
+                        buckets, m, P, False)
     # nearest-first layout; repair any -1 (insufficient candidates) to 0
     return np.where(out >= 0, out, 0)
