@@ -58,13 +58,17 @@ def main():
     # 16-iteration chunks and measures steady-state execution only
     m.train(N=48, disable=True, chunk_size=16)
     _log('warmup done')
-    # timed run
-    n_iters = 96
-    t0 = time.time()
-    m.train(N=n_iters, disable=True, chunk_size=16)
-    dt = time.time() - t0
-    it_s = n_iters / dt
-    _log(f'timed train done: {it_s:.2f} it/s')
+    # timed run: median of three 96-iteration windows (a single ~1.5 s
+    # window is vulnerable to one dispatch hiccup over the device link)
+    rates = []
+    for _ in range(3):
+        n_iters = 96
+        t0 = time.time()
+        m.train(N=n_iters, disable=True, chunk_size=16)
+        rates.append(n_iters / (time.time() - t0))
+    it_s = sorted(rates)[1]
+    _log(f'timed train done: {it_s:.2f} it/s (windows: '
+         + ', '.join(f'{r:.1f}' for r in rates) + ')')
 
     emu = emulator(m.estimate(), N=5)
     _log('emulator built')
