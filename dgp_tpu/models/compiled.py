@@ -231,7 +231,8 @@ class CompiledDGP:
                     if (lj == l and spj.n_length == 1 and sp.n_length == 1
                             and spj.input_dim == sp.input_dim
                             and spj.connect == sp.connect
-                            and mj == node.m and not needs_imp and not imp_j):
+                            and mj == node.m and not needs_imp and not imp_j
+                            and _aj == approx):
                         share = (lj, kj)
                         break
                 plan.append((l, k, 'share' if share else 'new', share,

@@ -530,6 +530,13 @@ class dgp:
                             engine.set_state(state)
                             self.imp.update_ord_nn()
                             state = engine.get_state()
+                            if sharded:
+                                # get_state() returns replicated arrays;
+                                # without re-sharding, every later chunk
+                                # silently runs single-device (GSPMD
+                                # partitioning is placement-driven).
+                                from ..parallel import mesh as pmesh
+                                state = pmesh.shard_latent_state(state)
                             nn_dev = None
                         if _dbg:
                             import sys as _sys
@@ -555,6 +562,17 @@ class dgp:
                           file=_sys.stderr, flush=True)
                 ok = all(np.all(np.isfinite(p)) for chunk in snapshots[0]
                          for p in chunk)
+                # para traces can stay finite while the latent state carries
+                # NaN (mstep falls back to the previous params on non-finite
+                # objectives) -- check the r2 snapshots (computed from the
+                # latents) and the latents themselves as well, mirroring the
+                # reference's restart-on-LinAlgError (dgp.py:1402-1412).
+                if ok:
+                    ok = all(np.all(np.isfinite(p)) for chunk in snapshots[1]
+                             for p in chunk)
+                if ok:
+                    latents = _jax.device_get(state[0])
+                    ok = all(np.all(np.isfinite(f)) for f in latents)
             if ok:
                 engine.set_state(state)
                 if nn_dev is not None:
@@ -804,6 +822,12 @@ class dgp:
                 if node.type == 'gp' and node.connect is not None:
                     node.global_input = self.X[:, node.connect].copy()
                 self._refresh_node_output(l, k, node, sub_idx=sub_idx)
+                if node.type == 'gp':
+                    node.m = self.m
+                    if node.vecch:
+                        # re-order + rebuild NN at the new n (reference
+                        # update_all_layer_smaller, dgp.py:1058-1077)
+                        self._wire_vecchia_node(l, k, node, self.all_layer[l])
 
     def _extend_latents(self, sub_idx):
         """Old X is a subset of new X: extend latents by conditional means
@@ -823,14 +847,26 @@ class dgp:
                     # conditional mean of existing node GP at the new points
                     x_new = In[~mask, :][:, node.input_dim]
                     z_new = global_in[~mask, :][:, node.connect] if node.connect is not None else None
-                    node.compute_stats()
-                    mu, _ = node.gp_prediction(x_new, z_new)
+                    if node.vecch:
+                        # Vecchia conditional-mean extension (reference
+                        # cond_mean_vecch, vecchia.py:624-633): pred-NN +
+                        # batched (n_new, m, m) solves via gp_prediction's
+                        # vecchia route -- never materialises dense Rinv,
+                        # so superset update_xy works at n >= 5e4
+                        mu, _ = node.gp_prediction(x_new, z_new)
+                    else:
+                        node.compute_stats()
+                        mu, _ = node.gp_prediction(x_new, z_new)
                     node.input = In[:, node.input_dim].copy()
                     Out[sub_idx, k] = node.output.flatten()
                     Out[~mask, k] = mu
                     node.output = Out[:, [k]].copy()
                     if node.connect is not None:
                         node.global_input = global_in[:, node.connect].copy()
+                    if node.vecch:
+                        # re-order + rebuild NN at the new n (reference
+                        # update_all_layer_larger, dgp.py:927-960)
+                        self._wire_vecchia_node(l, k, node, layer)
                 else:
                     node.rep = self.indices
                     if node.rep is None or node.type == 'gp':
@@ -840,6 +876,10 @@ class dgp:
                     if node.type == 'gp' and node.connect is not None:
                         node.global_input = global_in[:, node.connect].copy()
                     self._refresh_node_output(l, k, node)
+                    if node.type == 'gp':
+                        node.m = self.m
+                        if node.vecch:
+                            self._wire_vecchia_node(l, k, node, layer)
             if l != self.n_layer - 1:
                 In = Out.copy()
 

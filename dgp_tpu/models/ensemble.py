@@ -44,8 +44,6 @@ def supported(all_layer_set):
                 continue
             if node.type != 'gp':
                 return f'unknown node type {node.type}'
-            if node.vecch and getattr(node, 'nn_method', 'exact') != 'exact':
-                return 'approximate prediction NN'
     return None
 
 
@@ -93,6 +91,7 @@ class CompiledEnsemble:
                 w_diag = getattr(node, 'W_diag', None)
                 nd = dict(
                     kind='gp', name=node.name, vecch=bool(node.vecch),
+                    nn_method=getattr(node, 'nn_method', 'exact'),
                     input_dim=tuple(int(i) for i in node.input_dim),
                     connect=(None if node.connect is None
                              else tuple(int(i) for i in node.connect)),
@@ -128,6 +127,36 @@ class CompiledEnsemble:
                     per_q += 3 * self.N * n_tr * n_tr * itemsize
         self._dense_link_bytes_per_query = per_q
         self._itemsize = itemsize
+        self._build_ivf()
+
+    def _build_ivf(self):
+        """Device IVF indices for approximate-NN nodes (auto-IVF engages at
+        large n, where the compiled ensemble matters most).  Layer 0's index
+        is shared across imputations; deeper layers index each imputation's
+        own latent inputs (vmapped k-means + inverted lists).  Queries then
+        run cluster-restricted top-k INSIDE the chunk program -- same scheme
+        as the host `_pred_nn_approx` (vecchia/nn.py:364) but with no host
+        round-trips."""
+        for l in range(self.n_layer):
+            for k, nd in enumerate(self.spec[l]):
+                if nd['kind'] != 'gp' or not nd['vecch']:
+                    continue
+                n_train = self.y_stack[l][k].shape[1]
+                if nd['nn_method'] == 'exact' or n_train <= 4 * vnn._BLOCK:
+                    nd['ivf'] = None
+                    continue
+                K, Lmax = vnn._ivf_params(n_train)
+                W, shared = self._node_train_inputs(l, nd)
+                full_len = jnp.broadcast_to(nd['length'], (W.shape[-1],))
+                if shared:
+                    cent, assign = vnn._kmeans_fit(W / full_len, K, 6)
+                    nd['ivf'] = (cent, vnn._buckets_dev(assign, K, Lmax))
+                else:
+                    def build_one(Wi, full_len=full_len, K=K, Lmax=Lmax):
+                        cent, assign = vnn._kmeans_fit(Wi / full_len, K, 6)
+                        return cent, vnn._buckets_dev(assign, K, Lmax)
+
+                    nd['ivf'] = jax.vmap(build_one)(W)
 
     def _bytes_per_query(self, m_pred):
         """Worst-case live bytes per query point in the chunk program: dense
@@ -168,10 +197,16 @@ class CompiledEnsemble:
         (means, vars): lists over layers of (N, Mc, width_l)."""
         specs = self.spec
 
-        def nn_search(q, w, m_eff):
+        def nn_search(q, w, m_eff, ivf=None):
             # loo drops the nearest (self) neighbour, exactly like the
-            # object-graph path (vecchia/api.py gp_prediction_vecch)
-            nn = vnn._pred_nn_impl(q, w, m_eff)
+            # object-graph path (vecchia/api.py gp_prediction_vecch).
+            # With an IVF index the search is cluster-restricted top-k
+            # (host _pred_nn_approx semantics, in-program).
+            if ivf is not None:
+                nn = vnn._ivf_query(q, w, ivf[0], ivf[1], m_eff, 16, False)
+                nn = jnp.where(nn >= 0, nn, 0)
+            else:
+                nn = vnn._pred_nn_impl(q, w, m_eff)
             return nn[:, 1:] if loo else nn
 
         def prog(x, extra_jit):
@@ -196,7 +231,8 @@ class CompiledEnsemble:
                             xq = jnp.concatenate([xq, z], axis=1)
                         if nd['vecch']:
                             NN = nn_search(xq / nd['length'],
-                                           W / nd['length'], m_eff)
+                                           W / nd['length'], m_eff,
+                                           nd.get('ivf'))
                             mk, vk = jax.vmap(
                                 lambda yi: vcore.gp_vecch(
                                     xq, W, NN, yi, nd['scale'], nd['length'],
@@ -221,12 +257,13 @@ class CompiledEnsemble:
                             full_len = jnp.broadcast_to(
                                 nd['length'], (W.shape[2],))
 
-                            def per_imp(mi, vi, Wi, yi, nd=nd, dl=dl,
-                                        full_len=full_len, m_eff=m_eff):
+                            def per_imp(mi, vi, Wi, yi, ivfi=None, nd=nd,
+                                        dl=dl, full_len=full_len,
+                                        m_eff=m_eff):
                                 xq = mi if z is None else \
                                     jnp.concatenate([mi, z], axis=1)
                                 NN = nn_search(xq / full_len,
-                                               Wi / full_len, m_eff)
+                                               Wi / full_len, m_eff, ivfi)
                                 w1, gw1 = Wi[:, :dl], Wi[:, dl:]
                                 return vcore.link_gp_vecch(
                                     mi, vi, z, w1,
@@ -235,7 +272,14 @@ class CompiledEnsemble:
                                     nd['nugget'], nd['nug_diag'], nd['name'],
                                     extra_jit)
 
-                            mk, vk = jax.vmap(per_imp)(m_in, v_in, W, y)
+                            ivf = nd.get('ivf')
+                            if ivf is not None:
+                                mk, vk = jax.vmap(
+                                    lambda mi, vi, Wi, yi, c, b:
+                                        per_imp(mi, vi, Wi, yi, (c, b))
+                                )(m_in, v_in, W, y, ivf[0], ivf[1])
+                            else:
+                                mk, vk = jax.vmap(per_imp)(m_in, v_in, W, y)
                         else:
                             dl = len(nd['input_dim'])
 

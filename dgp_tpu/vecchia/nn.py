@@ -241,7 +241,12 @@ def nn_approx_dev(x, m, impute=False):
         return jnp.flip(jnp.sort(out, axis=1), axis=1), None
     out, imp = _ivf_query_self_both(x, cent, buckets, int(m), 16)
     ordered = jnp.flip(jnp.sort(out, axis=1), axis=1)
-    return ordered, jnp.where(imp >= 0, imp, 0)[:, 1:]
+    # imp is the unconstrained top-(m+1) in ascending distance; column 0 is
+    # self.  Slice to (n, m-1) to match the host path (get_pred_nn(.., m)[:,1:])
+    # and the exact device path (_pred_nn_impl(.., m)[:, 1:]) -- a different
+    # width would recompile every chunk program at the first device refresh
+    # and condition on one extra neighbour.
+    return ordered, jnp.where(imp >= 0, imp, 0)[:, 1:int(m)]
 
 
 

@@ -232,3 +232,93 @@ def test_aggregate_r2():
     r2 = m.aggregate_r2()
     assert len(r2) == 2
     assert r2[1][0] is not None
+
+
+def test_train_restarts_on_nan_latents():
+    """A NaN in the latent state must trigger the restart path (reference
+    dgp.py:1402-1412 restarts on LinAlgError), even when the para traces
+    stay finite (mstep falls back to previous params on non-finite
+    objectives, so para alone cannot be trusted)."""
+    _seed(11)
+    X = np.linspace(0, 1, 15).reshape(-1, 1)
+    Y = np.sin(2 * np.pi * X)
+    m = dgp(X, Y)
+    m.train(N=5, disable=True, chunk_size=5)
+    assert m.N == 5
+    # poison the hidden-layer latents; the engine reads state from the nodes
+    node = m.all_layer[0][0]
+    node.output = np.full_like(node.output, np.nan)
+    m.all_layer[1][0].input = np.full_like(m.all_layer[1][0].input, np.nan)
+    m.imp.invalidate()
+    m.train(N=5, disable=True, chunk_size=5)
+    # restart discards the poisoned attempt, reinitialises, and retrains
+    assert m.N == 10
+    for layer in m.all_layer:
+        for nd in layer:
+            if nd.type == 'gp':
+                assert np.all(np.isfinite(nd.output)), 'NaN latents survived'
+                assert np.all(np.isfinite(nd.para_path)), 'NaN para recorded'
+
+
+def test_vecchia_update_xy():
+    """update_xy in Vecchia mode: the conditional-mean latent extension must
+    use the Vecchia path (reference cond_mean_vecch, vecchia.py:624-633) and
+    every node's ordering/NN must be rebuilt at the new n (reference
+    update_all_layer_larger/smaller)."""
+    _seed(12)
+    n = 300
+    X = np.random.rand(n, 1) * 2 - 1
+    Y = np.sin(3 * X) + 0.05 * np.random.randn(n, 1)
+    m = dgp(X, Y, vecchia=True, m=10)
+    m.train(N=8, disable=True, chunk_size=4)
+
+    # superset: add 60 new points
+    X2 = np.vstack([X, np.random.rand(60, 1) * 2 - 1])
+    Y2 = np.sin(3 * X2) + 0.05 * np.random.randn(len(X2), 1)
+    m.update_xy(X2, Y2)
+    assert m.n_data == len(X2)
+    for layer in m.all_layer:
+        for nd in layer:
+            if nd.type == 'gp' and nd.vecch:
+                assert nd.ord.shape[0] == len(X2)
+                assert nd.NNarray.shape[0] == len(X2)
+                assert np.all(np.isfinite(nd.output))
+    m.train(N=4, disable=True, chunk_size=4)
+
+    # subset: back to the original design
+    m.update_xy(X, Y)
+    assert m.n_data == n
+    for layer in m.all_layer:
+        for nd in layer:
+            if nd.type == 'gp' and nd.vecch:
+                assert nd.ord.shape[0] == n
+                assert nd.NNarray.shape[0] == n
+    m.train(N=4, disable=True, chunk_size=4)
+    emu = emulator(m.estimate(), N=3)
+    xt = np.linspace(-1, 1, 50).reshape(-1, 1)
+    mu, var = emu.predict(xt)
+    rmse = np.sqrt(np.mean((mu - np.sin(3 * xt)) ** 2))
+    assert rmse < 0.3, rmse
+
+
+@pytest.mark.slow
+def test_vecchia_update_xy_large_n():
+    """Superset update_xy at n=5e4 in Vecchia mode: materialising any dense
+    (n, n) matrix here (the pre-fix behaviour: compute_stats() built Rinv)
+    would allocate 10-20 GB and fail; passing proves the extension stays
+    O(n*m^3)."""
+    _seed(13)
+    n = 50_000
+    X = np.random.rand(n, 1) * 2 - 1
+    Y = np.sin(3 * X) + 0.05 * np.random.randn(n, 1)
+    m = dgp(X, Y, vecchia=True, m=15)
+    m.train(N=2, disable=True, chunk_size=2)
+    X2 = np.vstack([X, np.random.rand(500, 1) * 2 - 1])
+    Y2 = np.sin(3 * X2) + 0.05 * np.random.randn(len(X2), 1)
+    m.update_xy(X2, Y2)
+    assert m.n_data == len(X2)
+    for layer in m.all_layer:
+        for nd in layer:
+            if nd.type == 'gp' and nd.vecch:
+                assert nd.NNarray.shape[0] == len(X2)
+    m.train(N=1, disable=True, chunk_size=1)

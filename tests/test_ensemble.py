@@ -83,3 +83,44 @@ def test_loo_equivalence():
         mu_h, var_h = _fallback_predict(emu, X, 11)
     np.testing.assert_allclose(mu_c, mu_h, rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(var_c, var_h, rtol=2e-3, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_compiled_ensemble_approx_nn():
+    """Approximate-NN (IVF) models must use the compiled ensemble too
+    (pre-fix they fell back to the host loop), and the in-program IVF
+    search must agree with the exact in-program search to high accuracy."""
+    nb_seed(5)
+    rng = np.random.RandomState(5)
+    n = 1500  # > 4 * vecchia.nn._BLOCK so the IVF branch engages
+    X = rng.rand(n, 1) * 2 - 1
+    Y = np.sin(3 * X) + 0.05 * rng.randn(n, 1)
+    m = dgp(X, Y, vecchia=True, m=10)
+    m.train(N=6, disable=True, chunk_size=3)
+    struct = m.estimate()
+    for layer in struct:
+        for nd in layer:
+            if nd.type == 'gp':
+                nd.nn_method = 'approx'
+    emu = emulator(struct, N=3)
+    assert ens_mod.supported(emu.all_layer_set) is None
+    xt = np.linspace(-1, 1, 400)[:, None]
+    mu_a, var_a = emu.predict(xt, m=15)
+    assert np.all(np.isfinite(mu_a)) and np.all(var_a >= 0)
+
+    # same stored imputations, exact in-program search
+    for layer_set in emu.all_layer_set:
+        for layer in layer_set:
+            for nd in layer:
+                if nd.type == 'gp':
+                    nd.nn_method = 'exact'
+    emu._ens_cache = None
+    emu.__dict__.pop('_ens_cache', None)
+    mu_e, var_e = emu.predict(xt, m=15)
+
+    rmse_a = np.sqrt(np.mean((mu_a - np.sin(3 * xt)) ** 2))
+    rmse_e = np.sqrt(np.mean((mu_e - np.sin(3 * xt)) ** 2))
+    assert rmse_a < 0.15, rmse_a
+    assert rmse_e < 0.15, rmse_e
+    # IVF recall > 95%: predictions nearly identical
+    assert np.mean(np.abs(mu_a - mu_e)) < 0.02, np.mean(np.abs(mu_a - mu_e))

@@ -361,14 +361,16 @@ def test_approx_nn_device_matches_host():
         lambda xs: vnn.nn_approx_dev(xs, m, impute=True))(jnp.asarray(X))
     np.testing.assert_array_equal(host, np.asarray(dev))
     imp = np.asarray(imp)
-    assert imp.shape == (n, m)
+    # (n, m-1): same layout as the host path get_pred_nn(.., m)[:, 1:] and
+    # the exact device path _pred_nn_impl(.., m)[:, 1:]
+    assert imp.shape == (n, m - 1)
     assert (imp != np.arange(n)[:, None]).all()  # self excluded
     assert ((imp >= 0) & (imp < n)).all()
     exact = np.asarray(vnn._pred_nn_impl(jnp.asarray(X), jnp.asarray(X),
-                                         m + 1))[:, 1:]
+                                         m))[:, 1:]
     rows = np.arange(0, n, 7)
     hits = sum(len(set(imp[i]) & set(exact[i])) for i in rows)
-    assert hits / (len(rows) * m) > 0.95
+    assert hits / (len(rows) * (m - 1)) > 0.95
 
 
 def test_device_refresh_supports_approx():
