@@ -65,3 +65,13 @@ def ess_spec(n):
 #: vs 0.013 at cap=16).  Set to None to restore the reference budget
 #: exactly.
 MSTEP_MAXFUN_CAP = 16
+
+# env override (used by tools/mstep_cap_compare.py to A/B the cap against
+# the reference budget across the gated parity matrix)
+import os as _os  # noqa: E402
+
+_cap_env = _os.environ.get('DGP_TPU_MSTEP_CAP')
+if _cap_env is not None:
+    MSTEP_MAXFUN_CAP = (None if _cap_env.lower() in ('none', '')
+                        else int(_cap_env))
+del _os, _cap_env

@@ -39,6 +39,12 @@ from ..vecchia import core as vcore
 from ..vecchia import nn as vnn_mod
 from .. import config
 
+#: above this point count the NN refresh stops fusing everything into one
+#: program and dispatches bounded query chunks instead (one very long query
+#: program over a huge gather source can crash the TPU runtime worker --
+#: the fault behind the former 200k host-fallback cap).
+DEVICE_REFRESH_MAX_FUSED_N = 200_000
+
 
 class NodeSpec:
     """Static description of one node (GP or likelihood)."""
@@ -194,11 +200,13 @@ class CompiledDGP:
     def supports_device_refresh(self):
         """Device-side NN refresh covers the standard configurations: exact
         NN search and IVF approximate search (both have fully on-device
-        builds), random ordering (no custom ord_fun).  Above ~200k points
-        the refresh falls back to the host path, whose IVF queries dispatch
-        in bounded chunks: a single very long query program over a huge
-        gather source can crash the TPU runtime worker (see
-        vecchia/nn._QUERY_CHUNK)."""
+        builds), random ordering (no custom ord_fun).  Above
+        DEVICE_REFRESH_MAX_FUSED_N points the refresh switches from one
+        fused program to bounded query-chunk dispatches (a single very long
+        query program over a huge gather source can crash the TPU runtime
+        worker -- see vecchia/nn._QUERY_CHUNK), which covers approximate-NN
+        nodes at any n; only large EXACT nodes (O(n^2) distance tiles)
+        still fall back to the host path."""
         for layer, specs in zip(self.all_layer, self.spec):
             for node, sp in zip(layer, specs):
                 if sp.kind == 'gp' and sp.vecch:
@@ -207,7 +215,10 @@ class CompiledDGP:
                     if getattr(node, 'nn_method', 'exact') not in (
                             'exact', 'approx', 'hnsw', 'ivf'):
                         return False
-                    if node.input.shape[0] > 200_000:
+                    n_node = node.input.shape[0]
+                    approx = (getattr(node, 'nn_method', 'exact') != 'exact'
+                              and n_node > 4 * vnn_mod._BLOCK)
+                    if n_node > DEVICE_REFRESH_MAX_FUSED_N and not approx:
                         return False
         return True
 
@@ -238,6 +249,12 @@ class CompiledDGP:
                 plan.append((l, k, 'share' if share else 'new', share,
                              int(node.m), needs_imp, approx))
         plan_t = tuple(plan)
+
+        if any(e[2] == 'new'
+               and self.all_layer[e[0]][e[1]].input.shape[0]
+               > DEVICE_REFRESH_MAX_FUSED_N
+               for e in plan_t):
+            return self._refresh_nn_eager(state, key, plan_t)
 
         def build():
             from ..vecchia import nn as vnn
@@ -278,6 +295,45 @@ class CompiledDGP:
             return f
 
         return self._get_jitted('refresh' + str(plan_t), build)(state, key)
+
+    def _refresh_nn_eager(self, state, key, plan_t):
+        """NN refresh for very large models: same plan semantics as the
+        fused program, but each node's IVF queries dispatch as bounded
+        chunks (vecchia/nn.nn_approx_dev_chunked).  All arrays stay on
+        device -- latents are never round-tripped to the host."""
+        from ..vecchia import nn as vnn
+
+        latents, params = state
+        n_new = sum(1 for e in plan_t if e[2] == 'new')
+        keys = jax.random.split(key, max(n_new, 1))
+        built = {}
+        i = 0
+        for (l, k, mode, share, m, needs_imp, approx) in plan_t:
+            if mode == 'share':
+                built[(l, k)] = built[share]
+                continue
+            p = params[l][k]
+            Xn = self._node_input(l, k, latents)
+            Xs = Xn / p['length']
+            ordv = jax.random.permutation(keys[i], Xn.shape[0])
+            i += 1
+            Xo = Xs[ordv]
+            if approx:
+                NN, imp = vnn.nn_approx_dev_chunked(Xo, m, impute=needs_imp)
+                d = {'ord': ordv.astype(jnp.int32),
+                     'NN': NN.astype(jnp.int32)}
+                if needs_imp:
+                    d['impNN'] = imp.astype(jnp.int32)
+            else:
+                d = {'ord': ordv.astype(jnp.int32),
+                     'NN': vnn._nn_ordered_impl(Xo, m).astype(jnp.int32)}
+                if needs_imp:
+                    d['impNN'] = vnn._pred_nn_impl(
+                        Xo, Xo, m)[:, 1:].astype(jnp.int32)
+            built[(l, k)] = d
+        return tuple(
+            tuple(built.get((l, k)) for k in range(len(self.spec[l])))
+            for l in range(self.n_layer))
 
     def set_state(self, state):
         # single pipelined transfer of the whole state tree (per-array

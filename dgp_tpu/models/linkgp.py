@@ -135,14 +135,27 @@ class lgp:
             sample_size = 1
         dt = np.dtype(config.default_dtype())
         mean_pred, variance_pred, sample_pred = [], [], []
-        for one_imputed in self.all_layer_set:
-            res = self._predict_one(one_imputed, x, method, full_layer, sample_size, m, dt,
-                                    sharded=sharded)
-            if method == 'mean_var':
-                mean_pred.append(res[0])
-                variance_pred.append(res[1])
-            else:
-                sample_pred.append(res)
+        comp = (self._compiled_propagation(x, m, sharded)
+                if method == 'mean_var' else None)
+        if comp is not None:
+            means, vars_ = comp
+            for i in range(len(self.all_layer_set)):
+                if full_layer:
+                    mean_pred.append([[a[i] for a in lay] for lay in means])
+                    variance_pred.append([[a[i] for a in lay]
+                                          for lay in vars_])
+                else:
+                    mean_pred.append([a[i] for a in means[-1]])
+                    variance_pred.append([a[i] for a in vars_[-1]])
+        else:
+            for one_imputed in self.all_layer_set:
+                res = self._predict_one(one_imputed, x, method, full_layer,
+                                        sample_size, m, dt, sharded=sharded)
+                if method == 'mean_var':
+                    mean_pred.append(res[0])
+                    variance_pred.append(res[1])
+                else:
+                    sample_pred.append(res)
         if method == 'mean_var':
             if full_layer:
                 mu = [[np.mean(i, axis=0) for i in zip(*case_m)]
@@ -159,6 +172,24 @@ class lgp:
             return [[np.concatenate(i, axis=2) for i in zip(*case_s)]
                     for case_s in zip(*sample_pred)]
         return [np.concatenate(i, axis=2) for i in zip(*sample_pred)]
+
+    def _compiled_propagation(self, x, m, sharded):
+        """Propagate the whole system -- all imputations, all emulators --
+        as one device program per query chunk (models/linked_ensemble.py);
+        returns None when the structure needs the per-imputation host loop
+        (reference role: linkgp.py:285's per-imputation pass)."""
+        from . import linked_ensemble as lens
+
+        if lens.supported(self.all_layer_set) is not None:
+            return None
+        sig = tuple(bool(nd.vecch)
+                    for layer in self.all_layer_set[0] for cont in layer
+                    for nd in lens._container_nodes(cont))
+        cache = getattr(self, '_lgp_cache', None)
+        if cache is None or cache[0] != sig:
+            cache = (sig, lens.CompiledLGP(self.all_layer_set))
+            self._lgp_cache = cache
+        return cache[1].propagate(x, m, sharded=sharded)
 
     def _predict_one(self, one_imputed, x, method, full_layer, sample_size, m, dt,
                      sharded=False):

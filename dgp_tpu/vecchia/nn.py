@@ -189,19 +189,22 @@ def _ivf_params(n):
     return K, Lmax
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _ivf_query_self_both(x, cent, buckets, m, P):
+@partial(jax.jit, static_argnums=(4, 5))
+def _ivf_query_self_both(q, x, cent, buckets, m, P, q0=0):
     """Fused self-query: ordered (predecessors-only) AND unconstrained
     top-(m+1) in one pass.  The candidate gather and distance matrix -- the
-    dominant cost -- are computed once and reused for both maskings."""
-    n, d = x.shape
+    dominant cost -- are computed once and reused for both maskings.
+    ``q`` is a (contiguous) slice of ``x`` starting at global row ``q0``,
+    so very large refreshes can dispatch bounded query chunks (the same
+    runtime-envelope concern as _QUERY_CHUNK)."""
+    nq, d = q.shape
     big = jnp.asarray(jnp.finfo(x.dtype).max / 8, x.dtype)
-    n_pad = ((n + _BLOCK - 1) // _BLOCK) * _BLOCK
-    xp = jnp.pad(x, ((0, n_pad - n), (0, 0)))
+    n_pad = ((nq + _BLOCK - 1) // _BLOCK) * _BLOCK
+    xp = jnp.pad(q, ((0, n_pad - nq), (0, 0)))
 
     def one_block(b):
         Q = jax.lax.dynamic_slice(xp, (b * _BLOCK, 0), (_BLOCK, d))
-        q_idx = b * _BLOCK + jnp.arange(_BLOCK)
+        q_idx = q0 + b * _BLOCK + jnp.arange(_BLOCK)
         d2c = _sq_dists_block(Q, cent)
         _, cl = jax.lax.top_k(-d2c, P)
         cand = jnp.concatenate(
@@ -222,7 +225,7 @@ def _ivf_query_self_both(x, cent, buckets, m, P):
         return ordered, unconstrained
 
     o, u = jax.lax.map(one_block, jnp.arange(n_pad // _BLOCK))
-    return (o.reshape(n_pad, m + 1)[:n], u.reshape(n_pad, m + 1)[:n])
+    return (o.reshape(n_pad, m + 1)[:nq], u.reshape(n_pad, m + 1)[:nq])
 
 
 def nn_approx_dev(x, m, impute=False):
@@ -239,13 +242,42 @@ def nn_approx_dev(x, m, impute=False):
     if not impute:
         out = _ivf_query(x, x, cent, buckets, int(m) + 1, 16, True)
         return jnp.flip(jnp.sort(out, axis=1), axis=1), None
-    out, imp = _ivf_query_self_both(x, cent, buckets, int(m), 16)
+    out, imp = _ivf_query_self_both(x, x, cent, buckets, int(m), 16)
     ordered = jnp.flip(jnp.sort(out, axis=1), axis=1)
     # imp is the unconstrained top-(m+1) in ascending distance; column 0 is
     # self.  Slice to (n, m-1) to match the host path (get_pred_nn(.., m)[:,1:])
     # and the exact device path (_pred_nn_impl(.., m)[:, 1:]) -- a different
     # width would recompile every chunk program at the first device refresh
     # and condition on one extra neighbour.
+    return ordered, jnp.where(imp >= 0, imp, 0)[:, 1:int(m)]
+
+
+def nn_approx_dev_chunked(x, m, impute=False, chunk=None):
+    """Device IVF build + self-query dispatched in bounded query chunks:
+    the arrays never leave the device (x may be a sharded latent view), but
+    no single program exceeds the runtime envelope that one monolithic
+    query over a >200k-point gather source can breach (see _QUERY_CHUNK).
+    Drop-in for nn_approx_dev at any n; used by the engine's NN refresh
+    above models/compiled.DEVICE_REFRESH_MAX_FUSED_N points."""
+    n = x.shape[0]
+    chunk = chunk or _QUERY_CHUNK
+    K, Lmax = _ivf_params(n)
+    cent, assign = _kmeans_fit(x, K, 6)
+    buckets = _buckets_dev(assign, K, Lmax)
+    outs, imps = [], []
+    for s in range(0, n, chunk):
+        qc = x[s:s + chunk]
+        if impute:
+            o, im = _ivf_query_self_both(qc, x, cent, buckets, int(m), 16, s)
+            imps.append(im)
+        else:
+            o = _ivf_query(qc, x, cent, buckets, int(m) + 1, 16, True, s)
+        outs.append(o)
+    ordered = jnp.concatenate(outs, axis=0)
+    ordered = jnp.flip(jnp.sort(ordered, axis=1), axis=1)
+    if not impute:
+        return ordered, None
+    imp = jnp.concatenate(imps, axis=0)
     return ordered, jnp.where(imp >= 0, imp, 0)[:, 1:int(m)]
 
 

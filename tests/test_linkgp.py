@@ -184,3 +184,43 @@ def test_multistart_device_path():
         best = utils.multistart(neg_branin, inits, np.array([-5.0, 0.0]),
                                 np.array([10.0, 15.0]))
     assert -float(neg_branin(jnp.asarray(best.reshape(1, -1)))[0, 0]) < 0.5
+
+
+def test_compiled_lgp_matches_host_loop():
+    """The one-program system pass (models/linked_ensemble.py) must agree
+    with the per-imputation host loop on the same stored imputations
+    (reference semantics: linkgp.py:285-495)."""
+    _seed(7)
+    X1 = np.linspace(0, 1, 12).reshape(-1, 1)
+    Y1 = f1(X1)
+    m1 = gp(X1, Y1, kernel(length=np.array([0.5]), name='matern2.5',
+                           scale_est=True))
+    m1.train()
+    W = np.linspace(Y1.min(), Y1.max(), 15).reshape(-1, 1)
+    m2 = dgp(W, f2(W))
+    m2.train(N=30, disable=True, chunk_size=15)
+    c1 = container(m1.export(), local_input_idx=np.array([0]))
+    c2 = container(m2.estimate(), local_input_idx=np.array([0]))
+    system = lgp(combine([c1], [c2]), N=4)
+
+    xt = np.linspace(0.05, 0.95, 40).reshape(-1, 1)
+    mu_c, var_c = system.predict(xt)
+    assert getattr(system, '_lgp_cache', None) is not None, \
+        'compiled path did not engage'
+    # force the host loop on the same imputations
+    system._compiled_propagation = lambda *a, **k: None
+    mu_h, var_h = system.predict(xt)
+    np.testing.assert_allclose(np.asarray(mu_c[0]), np.asarray(mu_h[0]),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_c[0]), np.asarray(var_h[0]),
+                               rtol=1e-4, atol=1e-8)
+
+    # full_layer variant
+    del system.__dict__['_compiled_propagation']
+    mu_cf, var_cf = system.predict(xt, full_layer=True)
+    system._compiled_propagation = lambda *a, **k: None
+    mu_hf, var_hf = system.predict(xt, full_layer=True)
+    for lc, lh in zip(mu_cf, mu_hf):
+        for ac, ah in zip(lc, lh):
+            np.testing.assert_allclose(np.asarray(ac), np.asarray(ah),
+                                       rtol=1e-5, atol=1e-8)

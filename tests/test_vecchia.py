@@ -440,3 +440,61 @@ def test_host_jitter_retry_merges_failed_rows():
     g2 = api._with_jitter_retry(healthy_prog)
     g2(np.zeros((3, 1), np.float32))
     assert calls == [0.0]  # no escalation dispatches on the healthy path
+
+
+def test_nn_approx_dev_chunked_matches_fused():
+    """The bounded-chunk IVF self-query (used by the NN refresh above
+    DEVICE_REFRESH_MAX_FUSED_N) must reproduce the single-program build
+    exactly: same k-means (deterministic init), same global-offset ordered
+    masking across chunk boundaries."""
+    import jax
+    import jax.numpy as jnp
+
+    _seed(15)
+    n, m = 3000, 12
+    X = np.random.uniform(size=(n, 2)).astype(np.float32)
+    fo, fi = jax.jit(
+        lambda xs: vnn.nn_approx_dev(xs, m, impute=True))(jnp.asarray(X))
+    co, ci = vnn.nn_approx_dev_chunked(jnp.asarray(X), m, impute=True,
+                                       chunk=700)
+    np.testing.assert_array_equal(np.asarray(fo), np.asarray(co))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ci))
+    # and the non-impute variant
+    fo2, _ = jax.jit(lambda xs: vnn.nn_approx_dev(xs, m))(jnp.asarray(X))
+    co2, _ = vnn.nn_approx_dev_chunked(jnp.asarray(X), m, chunk=700)
+    np.testing.assert_array_equal(np.asarray(fo2), np.asarray(co2))
+
+
+def test_refresh_nn_eager_matches_fused(monkeypatch):
+    """Engine NN refresh above the fused-program cap (the former 200k host
+    fallback) must produce the identical nn_state via the chunked eager
+    path, keeping n=1e6 ptrain on-device end to end."""
+    import jax
+
+    _seed(16)
+    n = 1500
+    X = np.random.rand(n, 1) * 2 - 1
+    Y = np.sin(4 * X) + 0.05 * np.random.randn(n, 1)
+    from dgp_tpu.models.dgp import dgp
+    m = dgp(X, Y, vecchia=True, m=10)
+    for layer in m.all_layer:
+        for nd in layer:
+            if nd.type == 'gp':
+                nd.nn_method = 'approx'
+    eng = m.imp._engine()
+    state = eng.get_state()
+    key = jax.random.PRNGKey(7)
+    fused = eng.refresh_nn(state, key)
+    from dgp_tpu.models import compiled as cmod
+    assert eng.supports_device_refresh()
+    monkeypatch.setattr(cmod, 'DEVICE_REFRESH_MAX_FUSED_N', 100)
+    assert eng.supports_device_refresh()  # approx nodes stay on-device
+    eager = eng.refresh_nn(state, key)
+    for lf, le in zip(fused, eager):
+        for df, de in zip(lf, le):
+            assert (df is None) == (de is None)
+            if df is None:
+                continue
+            for kk in df:
+                np.testing.assert_array_equal(np.asarray(df[kk]),
+                                              np.asarray(de[kk]))
