@@ -64,6 +64,13 @@ def ess_spec(n):
 #: out before the scale estimate degenerates (vecchia_SI parity RMSE 2.23
 #: vs 0.013 at cap=16).  Set to None to restore the reference budget
 #: exactly.
+#:
+#: Validated round 3 across the reference-anchored parity matrix
+#: (tools/mstep_cap_compare.py, MSTEP_CAP_COMPARE.json): cap=None produces
+#: IDENTICAL quality numbers on dgp_poisson / negbin / linked (the warm
+#: restarts converge within the cap) and a 0.004-nat train-NLL change on
+#: motorcycle (0.3554 vs 0.3598) at ~2.7x the M-step wall time -- the cap
+#: is not the source of any measured parity gap.
 MSTEP_MAXFUN_CAP = 16
 
 # env override (used by tools/mstep_cap_compare.py to A/B the cap against
