@@ -23,5 +23,6 @@ from .models.linkgp import container, lgp  # noqa: F401
 from .models.synthetic import path  # noqa: F401
 from .likelihoods import Poisson, Hetero, NegBin, Categorical, ZIP, ZINB  # noqa: F401
 from .utils import write, read, summary, nb_seed, set_thread, get_thread  # noqa: F401
+from .io_dgpsi import read_dgpsi  # noqa: F401
 
 __version__ = "0.1.0"
