@@ -171,6 +171,7 @@ class CompiledDGP:
             for node, sp in zip(layer, specs):
                 if sp.kind == 'gp' and sp.vecch:
                     d = {'ord': jnp.asarray(node.ord, jnp.int32),
+                         'rev': jnp.asarray(np.argsort(node.ord), jnp.int32),
                          'NN': jnp.asarray(node.NNarray, jnp.int32)}
                     if getattr(node, 'imp_NNarray', None) is not None:
                         d['impNN'] = jnp.asarray(node.imp_NNarray, jnp.int32)
@@ -276,14 +277,15 @@ class CompiledDGP:
                     ordv = jax.random.permutation(keys[i], Xn.shape[0])
                     i += 1
                     Xo = Xs[ordv]
+                    rev = jnp.argsort(ordv).astype(jnp.int32)
                     if approx:
                         NN, imp = vnn.nn_approx_dev(Xo, m, impute=needs_imp)
-                        d = {'ord': ordv.astype(jnp.int32),
+                        d = {'ord': ordv.astype(jnp.int32), 'rev': rev,
                              'NN': NN.astype(jnp.int32)}
                         if needs_imp:
                             d['impNN'] = imp.astype(jnp.int32)
                     else:
-                        d = {'ord': ordv.astype(jnp.int32),
+                        d = {'ord': ordv.astype(jnp.int32), 'rev': rev,
                              'NN': vnn._nn_ordered_impl(Xo, m).astype(jnp.int32)}
                         if needs_imp:
                             d['impNN'] = vnn._pred_nn_impl(Xo, Xo, m)[:, 1:].astype(jnp.int32)
@@ -318,14 +320,15 @@ class CompiledDGP:
             ordv = jax.random.permutation(keys[i], Xn.shape[0])
             i += 1
             Xo = Xs[ordv]
+            rev = jnp.argsort(ordv).astype(jnp.int32)
             if approx:
                 NN, imp = vnn.nn_approx_dev_chunked(Xo, m, impute=needs_imp)
-                d = {'ord': ordv.astype(jnp.int32),
+                d = {'ord': ordv.astype(jnp.int32), 'rev': rev,
                      'NN': NN.astype(jnp.int32)}
                 if needs_imp:
                     d['impNN'] = imp.astype(jnp.int32)
             else:
-                d = {'ord': ordv.astype(jnp.int32),
+                d = {'ord': ordv.astype(jnp.int32), 'rev': rev,
                      'NN': vnn._nn_ordered_impl(Xo, m).astype(jnp.int32)}
                 if needs_imp:
                     d['impNN'] = vnn._pred_nn_impl(
@@ -422,7 +425,7 @@ class CompiledDGP:
             ns = nn_state[l][k]
             samp = vcore.fmvn_sp(key, Xn[ns['ord']], ns['NN'], p['scale'],
                                  p['length'], p['nugget'], sp.name)
-            rev_ord = jnp.argsort(ns['ord'])
+            rev_ord = ns['rev'] if 'rev' in ns else jnp.argsort(ns['ord'])
             return samp[rev_ord]
         K = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
         L = linalg.safe_cholesky(K)
@@ -443,7 +446,7 @@ class CompiledDGP:
             eps = (jax.random.normal(key, (S, n), self.dtype)
                    * jnp.sqrt(p['scale']) * sigma[None, :])
             samp = vcore.ancestral_sample(eps, w, idx_asc)
-            rev_ord = jnp.argsort(ns['ord'])
+            rev_ord = ns['rev'] if 'rev' in ns else jnp.argsort(ns['ord'])
             return samp[:, rev_ord]
         K = p['scale'] * kops.k_matrix(Xn, p['length'], p['nugget'], sp.name)
         L = linalg.safe_cholesky(K)
@@ -678,7 +681,8 @@ class CompiledDGP:
                             keys[k], Xn[ordv], ns['impNN'], Gamma[ordv],
                             y_eff[ordv], p['scale'], p['length'], p['nugget'],
                             sp.name)
-                        f = f_ord[jnp.argsort(ordv)]
+                        f = f_ord[ns['rev'] if 'rev' in ns
+                                  else jnp.argsort(ordv)]
                     else:
                         v = p['scale'] * kops.k_matrix(Xn, p['length'],
                                                        p['nugget'], sp.name)

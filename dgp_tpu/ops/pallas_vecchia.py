@@ -62,38 +62,35 @@ def _fwd_pipeline(X, yv, diag, L, *, m1, name):
     substitution.  X/yv/diag are VALUES (the caller loads refs); L is a VMEM
     scratch ref.  Returns (logdet_row (B,), quad_row (B,))."""
     def k_col(j):
-        """Correlation of every block row with row j (coordinates arrive
-        pre-scaled by the lengthscales), with diag[j] at position j."""
+        """Correlation of block rows j+1.. with row j (coordinates arrive
+        pre-scaled by the lengthscales).  Only the strict lower part is
+        built -- the column Cholesky never reads above the diagonal, and
+        the correlation build is ~half the kernel's VPU work."""
+        Xl = X[j + 1:]                            # (m1-j-1, d, B)
         xj = X[j][None]                           # (1, d, B)
         if name == "sexp":
-            col = jnp.exp(-jnp.sum((X - xj) ** 2, axis=1))    # (m1, B)
-        else:  # matern2.5 (unrolled product: Mosaic has no reduce_prod)
-            ad = jnp.abs(X - xj)                  # (m1, d, B)
-            d_dims = ad.shape[1]
-            coef = 1.0 + SQRT5 * ad[:, 0] + (5.0 / 3.0) * ad[:, 0] * ad[:, 0]
-            for t in range(1, d_dims):
-                coef = coef * (1.0 + SQRT5 * ad[:, t]
-                               + (5.0 / 3.0) * ad[:, t] * ad[:, t])
-            col = coef * jnp.exp(-SQRT5 * jnp.sum(ad, axis=1))
-        # static-index row replacement (at[].set lowers to scatter, which
-        # Mosaic does not implement; empty edge slices are also rejected)
-        parts = ([col[:j]] if j > 0 else []) + [diag[j][None]] \
-            + ([col[j + 1:]] if j + 1 < m1 else [])
-        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+            return jnp.exp(-jnp.sum((Xl - xj) ** 2, axis=1))   # (m1-j-1, B)
+        # matern2.5 (unrolled product: Mosaic has no reduce_prod)
+        ad = jnp.abs(Xl - xj)                     # (m1-j-1, d, B)
+        d_dims = ad.shape[1]
+        coef = 1.0 + SQRT5 * ad[:, 0] + (5.0 / 3.0) * ad[:, 0] * ad[:, 0]
+        for t in range(1, d_dims):
+            coef = coef * (1.0 + SQRT5 * ad[:, t]
+                           + (5.0 / 3.0) * ad[:, t] * ad[:, t])
+        return coef * jnp.exp(-SQRT5 * jnp.sum(ad, axis=1))
 
-    # column Cholesky, batch-vectorised
+    # column Cholesky, batch-vectorised (diagonal comes from `diag`)
     for j in range(m1):
-        kj = k_col(j)
         if j == 0:
-            dj = jnp.sqrt(kj[0])
+            dj = jnp.sqrt(diag[0])
             L[0, 0] = dj
-            L[1:, 0] = kj[1:] / dj[None]
+            L[1:, 0] = k_col(0) / dj[None]
         else:
-            s = kj[j] - jnp.sum(L[j, :j] ** 2, axis=0)
+            s = diag[j] - jnp.sum(L[j, :j] ** 2, axis=0)
             dj = jnp.sqrt(s)
             L[j, j] = dj
             if j + 1 < m1:
-                off = (kj[j + 1:]
+                off = (k_col(j)
                        - jnp.sum(L[j + 1:, :j] * L[j, :j][None], axis=1)) / dj[None]
                 L[j + 1:, j] = off
 
