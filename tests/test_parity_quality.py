@@ -1,13 +1,22 @@
 """Quality-gate tests on the reference's real-data demo configurations.
 
-These are reduced-budget versions of the PARITY_r02.json configs (the full
-runs live in tools/parity.py): the motorcycle heteroskedastic fit
-(ref demo/non_Gaussian_likelihood.ipynb cells 12-17) and the wine 3-class
-classification (ref demo/DGP_classification.ipynb).  Gates are loose enough
-for the shortened training budget but tight enough to catch a broken
-likelihood path or a diverged fit.
+Two layers of gating:
+
+1. Live reference-anchored gates (slow): the cheap demo configs run at
+   FULL budget through the exact tools/parity.py code path and must pass
+   the same gates recorded in PARITY_r03.json -- thresholds anchored to
+   dgpsi run on the identical draw (REF_ANCHORS.json).
+2. Reduced-budget smoke gates (slow): the two expensive configs
+   (motorcycle Hetero, wine classification) at shortened budgets with
+   correspondingly looser thresholds.
+3. Artifact gate (fast): every recorded PARITY_r03.json row must carry a
+   reference anchor (where one exists) and a passing gate, so a regression
+   in the recorded parity matrix fails the suite even when the slow live
+   runs are deselected.
 """
+import json
 import os
+import sys
 
 import numpy as np
 import pytest
@@ -18,6 +27,9 @@ from dgp_tpu.models.node import kernel, combine
 from dgp_tpu.models.emulation import emulator
 from dgp_tpu.likelihoods import Hetero, Categorical
 
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(_ROOT, "tools"))
+
 MC_IN = "/root/reference/demo/mc_input.txt"
 MC_OUT = "/root/reference/demo/mc_output.txt"
 
@@ -25,6 +37,48 @@ MC_OUT = "/root/reference/demo/mc_output.txt"
 def _seed(s):
     np.random.seed(s)
     rng.seed(s)
+
+
+def _live_gate(name):
+    """Run a tools/parity.py config live and assert its anchored gate."""
+    import parity as par
+    r = par.CONFIGS[name]()
+    anchors = {}
+    if os.path.exists(par.ANCHORS):
+        with open(par.ANCHORS) as fh:
+            anchors = json.load(fh)
+    a = anchors.get(name)
+    if a and "error" not in a:
+        r["reference_on_same_draw"] = {
+            k: v for k, v in a.items() if k not in ("wall_s", "source")}
+    par.apply_gate(name, r)
+    assert "gate" in r, r
+    assert r["gate"]["pass"], r["gate"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["step", "poisson", "dgp_poisson",
+                                  "linked", "2d", "negbin"])
+def test_parity_config_live(name):
+    """Full-budget live run of a demo config through tools/parity.py,
+    gated against the reference-on-same-draw anchor."""
+    _live_gate(name)
+
+
+def test_parity_artifact_gated():
+    """Every recorded parity row has a passing reference-anchored gate."""
+    path = os.path.join(_ROOT, "PARITY_r03.json")
+    if not os.path.exists(path):
+        pytest.skip("no recorded parity matrix")
+    with open(path) as fh:
+        results = json.load(fh)
+    assert len(results) >= 9, sorted(results)
+    for name, r in results.items():
+        assert isinstance(r, dict) and "error" not in r, (name, r)
+        g = r.get("gate")
+        assert g is not None and g["pass"], (name, g)
+        if name not in ("vecchia", "wine"):  # no same-draw anchor possible
+            assert "reference_on_same_draw" in r, name
 
 
 @pytest.mark.slow

