@@ -109,6 +109,19 @@ def main():
     else:
         n5000 = {"n5000_skipped": "bench time budget"}
 
+    # n=1e6 capability leg: IVF approximate NN, a few steady-state
+    # iterations (driver-verified evidence for the README's million-point
+    # claim).  Runs last under the loosest budget gate; any failure is
+    # reported without losing the headline metric.
+    xlarge = {}
+    if time.time() - T_START < 600:
+        try:
+            xlarge = _xlarge_n()
+        except Exception as e:
+            xlarge = {"xlarge_n_error": f"{type(e).__name__}: {e}"[:200]}
+    else:
+        xlarge = {"xlarge_n_skipped": "bench time budget"}
+
     baseline_it_s = 0.48 * 5000 / 2000  # reference extrapolated to n=2000
     print(json.dumps({
         "metric": "vecchia_SI_train_iters_per_sec_n2000",
@@ -120,6 +133,7 @@ def main():
         "platform": jax.default_backend(),
         **large,
         **n5000,
+        **xlarge,
     }))
 
 
@@ -169,18 +183,61 @@ def _large_n():
     _log('constructing n=1e5 model')
     m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)  # auto approx-NN
     _log('large-n constructed')
-    # warm through iteration 16 so the timed window (iters 17-24) contains
+    # warm through iteration 32 so the timed window (iters 33-56) contains
     # no power-of-2 NN refresh: steady-state rate, matching how the
     # reference's published rates amortise its identical refresh schedule.
-    # chunk_size=8: the timed window is then ONE dispatch (measured ~225 ms
+    # chunk_size=24: the timed window is ONE dispatch (measured ~225 ms
     # fixed cost per chunk dispatch over the device link at this scale)
-    m.train(N=16, disable=True, chunk_size=8)
+    m.train(N=32, disable=True, chunk_size=16)
     _log('large-n warm')
     t0 = time.time()
-    m.train(N=8, disable=True, chunk_size=8)
-    it_s = 8 / (time.time() - t0)
+    m.train(N=24, disable=True, chunk_size=24)
+    it_s = 24 / (time.time() - t0)
+    _log(f'large-n timed: {it_s:.2f} it/s')
+    # large-n ensemble prediction throughput (compiled device-resident
+    # ensemble with in-program IVF NN queries, models/ensemble.py)
+    from dgp_tpu import emulator
+    emu = emulator(m.estimate(), N=5)
+    zp = np.linspace(-1, 1, 20000).reshape(-1, 1)
+    emu.predict(zp, m=25)
+    t0 = time.time()
+    emu.predict(zp, m=25)
+    pred_s = len(zp) / (time.time() - t0)
+    _log(f'large-n predict: {pred_s:.0f} pts/s')
     return {"large_n": n, "large_n_train_iters_per_sec": round(it_s, 3),
-            "large_n_vs_baseline": round(it_s / (0.48 * 5000 / n), 1)}
+            "large_n_vs_baseline": round(it_s / (0.48 * 5000 / n), 1),
+            "large_n_predict_pts_per_sec": round(pred_s, 1)}
+
+
+def _xlarge_n():
+    """Vecchia-SI training rate at n=1e6 (chunked IVF NN, device-side
+    refresh).  Reference anchor: 0.48 it/s at n=5000 (vecchia_SI.ipynb
+    cell 7) extrapolated linearly to n=1e6 -> 0.0024 it/s."""
+    import time
+    from dgp_tpu import dgp, kernel, combine, nb_seed
+
+    nb_seed(11)
+    rng = np.random.RandomState(11)
+    n = 1_000_000
+    X = rng.rand(n, 1) * 2 - 1
+    Y = func(X) + 0.05 * rng.randn(n, 1)
+    layer1 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4)]
+    layer2 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
+                     nugget_est=True, scale_est=True, connect=np.arange(1))]
+    _log('constructing n=1e6 model')
+    m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)
+    _log('n=1e6 constructed')
+    # warm through iteration 4 (compile + first refreshes), then time a
+    # refresh-free window (iters 5-8; next power-of-2 refresh is at 8 --
+    # warm to 8 first so the window is clean)
+    m.train(N=8, disable=True, chunk_size=4)
+    _log('n=1e6 warm')
+    t0 = time.time()
+    m.train(N=4, disable=True, chunk_size=4)
+    it_s = 4 / (time.time() - t0)
+    _log(f'n=1e6 timed: {it_s:.3f} it/s')
+    return {"xlarge_n": n, "xlarge_n_train_iters_per_sec": round(it_s, 4),
+            "xlarge_n_vs_baseline": round(it_s / (0.48 * 5000 / n), 1)}
 
 
 if __name__ == "__main__":

@@ -515,6 +515,19 @@ class dgp:
                     done += this
                     pgb.update(this)
                     first_chunk = False
+                    # mid-flight divergence probe: every 8th chunk, fetch one
+                    # OLD para chunk (2 behind, already computed -- the
+                    # transfer overlaps the running chunk instead of stalling
+                    # the pipeline) so a divergence restarts within ~8 chunks
+                    # rather than discarding the whole call (the reference
+                    # restarts immediately, dgp.py:1402-1412; the full
+                    # para/r2/latent check still runs at the end).
+                    if len(snapshots[0]) % 8 == 0 and len(snapshots[0]) >= 2:
+                        import jax as _jax
+                        probe = _jax.device_get(snapshots[0][-2])
+                        if not all(np.all(np.isfinite(p)) for p in probe):
+                            ok = False
+                            break
                     g = N0 + done
                     # Reference refresh schedule (dgp.py:1388-1389): re-order
                     # NN at every power-of-2 global iteration.  The reference
