@@ -13,12 +13,29 @@ Cholesky + column-unrolled solves, float64 log-lik accumulation); quality is
 gated by an RMSE check against the noiseless truth, reported in the JSON.
 """
 import json
+import signal
 import sys
 import time
 
 import numpy as np
 
 T_START = time.time()
+
+# Results accumulate here as legs complete; on SIGTERM/SIGINT (driver
+# timeout) the handler dumps whatever is already measured as the one JSON
+# line instead of losing the whole run.
+RESULTS = {}
+
+
+def _dump_and_exit(signum, frame):
+    if RESULTS.get("metric"):
+        RESULTS.setdefault("truncated_by_signal", signum)
+        print(json.dumps(RESULTS), flush=True)
+    sys.exit(0)
+
+
+signal.signal(signal.SIGTERM, _dump_and_exit)
+signal.signal(signal.SIGINT, _dump_and_exit)
 
 
 def _log(msg):
@@ -85,45 +102,8 @@ def main():
     predict_pts_s = len(zp) / (time.time() - t0)
     _log(f'predict done: {predict_pts_s:.0f} pts/s')
 
-    # large-n capability (BASELINE config 5): n=1e5 Vecchia SI, approximate
-    # NN, a few steady-state iterations.  Budget-gated so the headline metric
-    # is always reported even under a tight driver timeout.
-    large = {}
-    if time.time() - T_START < 420:
-        try:
-            large = _large_n()
-        except Exception as e:  # keep the headline metric even if this fails
-            large = {"large_n_error": f"{type(e).__name__}: {e}"[:200]}
-    else:
-        large = {"large_n_skipped": "bench time budget"}
-
-    # direct, non-extrapolated baseline comparison: the exact
-    # demo/vecchia_SI.ipynb configuration (n=5000) against its published
-    # 0.48 it/s, no linearity assumption
-    n5000 = {}
-    if time.time() - T_START < 900:
-        try:
-            n5000 = _n5000()
-        except Exception as e:
-            n5000 = {"n5000_error": f"{type(e).__name__}: {e}"[:200]}
-    else:
-        n5000 = {"n5000_skipped": "bench time budget"}
-
-    # n=1e6 capability leg: IVF approximate NN, a few steady-state
-    # iterations (driver-verified evidence for the README's million-point
-    # claim).  Runs last under the loosest budget gate; any failure is
-    # reported without losing the headline metric.
-    xlarge = {}
-    if time.time() - T_START < 600:
-        try:
-            xlarge = _xlarge_n()
-        except Exception as e:
-            xlarge = {"xlarge_n_error": f"{type(e).__name__}: {e}"[:200]}
-    else:
-        xlarge = {"xlarge_n_skipped": "bench time budget"}
-
     baseline_it_s = 0.48 * 5000 / 2000  # reference extrapolated to n=2000
-    print(json.dumps({
+    RESULTS.update({
         "metric": "vecchia_SI_train_iters_per_sec_n2000",
         "value": round(it_s, 3),
         "unit": "it/s",
@@ -131,10 +111,26 @@ def main():
         "rmse": round(rmse, 4),
         "predict_pts_per_sec": round(predict_pts_s, 1),
         "platform": jax.default_backend(),
-        **large,
-        **n5000,
-        **xlarge,
-    }))
+    })
+
+    # Extra legs in decreasing value order, each gated on remaining budget
+    # (gates strictly increase down the list so no leg is dead code; the
+    # SIGTERM handler keeps whatever finished if the driver times out):
+    #  - n=1e5 Vecchia SI (BASELINE config 5)
+    #  - n=1e6 capability (driver-verified evidence for the README claim)
+    #  - exact demo/vecchia_SI.ipynb n=5000 vs its published 0.48 it/s
+    for gate, fn, tag in ((420, _large_n, "large_n"),
+                          (700, _xlarge_n, "xlarge_n"),
+                          (1100, _n5000, "n5000")):
+        if time.time() - T_START < gate:
+            try:
+                RESULTS.update(fn())
+            except Exception as e:
+                RESULTS[f"{tag}_error"] = f"{type(e).__name__}: {e}"[:200]
+        else:
+            RESULTS[f"{tag}_skipped"] = "bench time budget"
+
+    print(json.dumps(RESULTS))
 
 
 def _n5000():
@@ -183,16 +179,17 @@ def _large_n():
     _log('constructing n=1e5 model')
     m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)  # auto approx-NN
     _log('large-n constructed')
-    # warm through iteration 32 so the timed window (iters 33-56) contains
-    # no power-of-2 NN refresh: steady-state rate, matching how the
-    # reference's published rates amortise its identical refresh schedule.
-    # chunk_size=24: the timed window is ONE dispatch (measured ~225 ms
-    # fixed cost per chunk dispatch over the device link at this scale)
+    # warm through iteration 32 so the timed window (iters 33-48) contains
+    # no power-of-2 NN refresh (next is at 64): steady-state rate, matching
+    # how the reference's published rates amortise its identical refresh
+    # schedule.  N=16 with chunk_size=16 maps to exactly ONE compiled chunk
+    # dispatch (train() quantises chunks to powers of two, so N=24 would run
+    # as 16 + 8x1 dispatches and pay ~8x the fixed ~225 ms dispatch cost).
     m.train(N=32, disable=True, chunk_size=16)
     _log('large-n warm')
     t0 = time.time()
-    m.train(N=24, disable=True, chunk_size=24)
-    it_s = 24 / (time.time() - t0)
+    m.train(N=16, disable=True, chunk_size=16)
+    it_s = 16 / (time.time() - t0)
     _log(f'large-n timed: {it_s:.2f} it/s')
     # large-n ensemble prediction throughput (compiled device-resident
     # ensemble with in-program IVF NN queries, models/ensemble.py)

@@ -84,7 +84,8 @@ def _fwd_pipeline(X, yv, diag, L, *, m1, name):
         if j == 0:
             dj = jnp.sqrt(diag[0])
             L[0, 0] = dj
-            L[1:, 0] = k_col(0) / dj[None]
+            if m1 > 1:  # Mosaic rejects the empty slice at m1 == 1
+                L[1:, 0] = k_col(0) / dj[None]
         else:
             s = diag[j] - jnp.sum(L[j, :j] ** 2, axis=0)
             dj = jnp.sqrt(s)

@@ -280,7 +280,11 @@ def ancestral_sample(eps, w, idx_asc, block=512):
     base = (jnp.arange(n_pad, dtype=idx_asc.dtype) // B) * B
     rel = idx_asc - base[:, None]                       # (n_pad, m)
     in_blk = (rel >= 0) & (w != 0)
-    rel_safe = jnp.where(in_blk, rel, -1)               # out-of-range -> drop
+    # masked lanes -> index B: genuinely out of range high for the (n_pad, B)
+    # buffer, so mode='drop' discards them.  (-1 would WRAP to column B-1 --
+    # JAX wraps negative scatter indices -- colliding with real updates and
+    # voiding the unique_indices promise.)
+    rel_safe = jnp.where(in_blk, rel, B)
     rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], rel.shape)
     # distinct neighbour indices per row -> unique_indices lets XLA lower
     # the scatter without duplicate-combining (measured ~22 ms/iter at

@@ -99,7 +99,10 @@ def test_lgp_ppredict_sharded(spy_shard_rows):
     system = lgp(combine([c1], [c2]), N=2)
     xt = np.linspace(0, 1, 17).reshape(-1, 1)
     mu_p, var_p = system.ppredict(xt)
-    assert len(spy_shard_rows) >= 2
+    # CompiledLGP serves the whole system in ONE fused program per query
+    # chunk, so a single shard_rows placement is correct; assert_sharded in
+    # the spy already verified real >1-device placement of each call.
+    assert len(spy_shard_rows) >= 1
     mu, var = system.predict(xt)
     for a, b in zip(mu_p, mu):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

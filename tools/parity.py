@@ -335,6 +335,12 @@ def apply_gate(name, result):
     if "error" in result or name not in GATES:
         return result
     anchor = result.get("reference_on_same_draw")
+    if anchor is None and name not in ("vecchia", "wine"):
+        # gates below subscript the same-draw anchor; on a checkout without
+        # REF_ANCHORS.json (or an errored anchor row) record that instead of
+        # dying with a TypeError mid-sweep
+        result["gate"] = {"pass": False, "reason": "no reference anchor"}
+        return result
     checks = GATES[name](result, anchor)
     out = []
     ok_all = True
