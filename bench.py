@@ -116,12 +116,15 @@ def main():
     # Extra legs in decreasing value order, each gated on remaining budget
     # (gates strictly increase down the list so no leg is dead code; the
     # SIGTERM handler keeps whatever finished if the driver times out):
-    #  - n=1e5 Vecchia SI (BASELINE config 5)
+    #  - n=1e5 Vecchia SI training rate (BASELINE config 5)
     #  - n=1e6 capability (driver-verified evidence for the README claim)
     #  - exact demo/vecchia_SI.ipynb n=5000 vs its published 0.48 it/s
+    #  - n=1e5 ensemble prediction throughput (reuses the large_n model;
+    #    last because it is the least comparable-to-reference number)
     for gate, fn, tag in ((420, _large_n, "large_n"),
-                          (700, _xlarge_n, "xlarge_n"),
-                          (1100, _n5000, "n5000")):
+                          (900, _xlarge_n, "xlarge_n"),
+                          (1300, _n5000, "n5000"),
+                          (1600, _large_n_predict, "large_n_predict")):
         if time.time() - T_START < gate:
             try:
                 RESULTS.update(fn())
@@ -191,9 +194,24 @@ def _large_n():
     m.train(N=16, disable=True, chunk_size=16)
     it_s = 16 / (time.time() - t0)
     _log(f'large-n timed: {it_s:.2f} it/s')
-    # large-n ensemble prediction throughput (compiled device-resident
-    # ensemble with in-program IVF NN queries, models/ensemble.py)
+    _LARGE_STATE['model'] = m
+    return {"large_n": n, "large_n_train_iters_per_sec": round(it_s, 3),
+            "large_n_vs_baseline": round(it_s / (0.48 * 5000 / n), 1)}
+
+
+_LARGE_STATE = {}
+
+
+def _large_n_predict():
+    """n=1e5 ensemble prediction throughput (compiled device-resident
+    ensemble with in-program IVF NN queries, models/ensemble.py).  Reuses
+    the model trained by the _large_n leg."""
+    import time
     from dgp_tpu import emulator
+
+    m = _LARGE_STATE.get('model')
+    if m is None:
+        raise RuntimeError('large_n leg did not run')
     emu = emulator(m.estimate(), N=5)
     zp = np.linspace(-1, 1, 20000).reshape(-1, 1)
     emu.predict(zp, m=25)
@@ -201,9 +219,7 @@ def _large_n():
     emu.predict(zp, m=25)
     pred_s = len(zp) / (time.time() - t0)
     _log(f'large-n predict: {pred_s:.0f} pts/s')
-    return {"large_n": n, "large_n_train_iters_per_sec": round(it_s, 3),
-            "large_n_vs_baseline": round(it_s / (0.48 * 5000 / n), 1),
-            "large_n_predict_pts_per_sec": round(pred_s, 1)}
+    return {"large_n_predict_pts_per_sec": round(pred_s, 1)}
 
 
 def _xlarge_n():

@@ -23,8 +23,9 @@ What is imported faithfully vs. redrawn:
 
 Migration shims on the reference side (`kernel_class.__setstate__`,
 kernel_class.py:146-205) renormalise pre-2.4 pickles at *load* time; this
-reader accepts post-shim attribute layouts (v2.4+) and applies the same
-defaults for absent attributes.
+reader applies the same defaults for absent attributes and -- for stub
+loads, where the reference's ``__setstate__`` never runs -- the same
+pre-2.4 ``gfod`` prior-coefficient renormalisation.
 """
 import pickle
 
@@ -129,6 +130,16 @@ def _conv_kernel(s):
     k.name = s.name
     k.prior_name = getattr(s, 'prior_name', 'ga')
     k.prior_coef = _arr(getattr(s, 'prior_coef', None), dt)
+    # pre-2.4 pickles carry a compiled-prior attribute ('gfod') and store
+    # prior_coef in the OLD parameterisation; the reference renormalises at
+    # load time (kernel_class.__setstate__, kernel_class.py:146-158).  When
+    # dgpsi itself is importable its __setstate__ already ran; stub loads
+    # (dgpsi absent) see the raw pre-2.4 state and migrate here.
+    if isinstance(s, _Stub) and hasattr(s, 'gfod') and k.prior_coef is not None:
+        if k.prior_name == 'ga':
+            k.prior_coef[0] -= 1
+        elif k.prior_name == 'inv_ga':
+            k.prior_coef[0] += 1
     if k.prior_name == 'ref':
         k.cl = _arr(getattr(s, 'cl', None), dt)
     k.nugget_est = bool(getattr(s, 'nugget_est', False))

@@ -516,16 +516,20 @@ class dgp:
                     pgb.update(this)
                     first_chunk = False
                     # mid-flight divergence probe: every 8th chunk, fetch one
-                    # OLD para chunk (2 behind, already computed -- the
+                    # OLD para+r2 chunk (2 behind, already computed -- the
                     # transfer overlaps the running chunk instead of stalling
                     # the pipeline) so a divergence restarts within ~8 chunks
                     # rather than discarding the whole call (the reference
                     # restarts immediately, dgp.py:1402-1412; the full
-                    # para/r2/latent check still runs at the end).
+                    # para/r2/latent check still runs at the end).  r2 is
+                    # computed from the latents, so a latent-only NaN (para
+                    # stays finite via mstep's ok-fallback) is caught here too.
                     if len(snapshots[0]) % 8 == 0 and len(snapshots[0]) >= 2:
                         import jax as _jax
-                        probe = _jax.device_get(snapshots[0][-2])
-                        if not all(np.all(np.isfinite(p)) for p in probe):
+                        probe = _jax.device_get((snapshots[0][-2],
+                                                 snapshots[1][-2]))
+                        if not all(np.all(np.isfinite(p))
+                                   for grp in probe for p in grp):
                             ok = False
                             break
                     g = N0 + done

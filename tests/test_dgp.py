@@ -260,6 +260,42 @@ def test_train_restarts_on_nan_latents():
                 assert np.all(np.isfinite(nd.para_path)), 'NaN para recorded'
 
 
+def test_latent_nan_restarts_midflight(monkeypatch):
+    """A latent-only NaN (para stays finite via mstep's ok-fallback) must be
+    caught by the every-8-chunks probe -- which fetches an r2 snapshot
+    computed FROM the latents -- and restart before the call runs all its
+    chunks (the reference restarts immediately, dgp.py:1402-1412)."""
+    _seed(13)
+    X = np.linspace(0, 1, 15).reshape(-1, 1)
+    Y = np.sin(2 * np.pi * X)
+    m = dgp(X, Y)
+    m.train(N=2, disable=True, chunk_size=1)
+    node = m.all_layer[0][0]
+    node.output = np.full_like(node.output, np.nan)
+    m.all_layer[1][0].input = np.full_like(m.all_layer[1][0].input, np.nan)
+    m.imp.invalidate()
+
+    from dgp_tpu.models import compiled as C
+    calls = []
+    orig = C.CompiledDGP.train_chunk
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(C.CompiledDGP, 'train_chunk', spy)
+    m.train(N=20, disable=True, chunk_size=1)
+    assert m.N == 22
+    # poisoned attempt aborts at the 8th chunk probe (8 calls) + one clean
+    # retrain (20 calls); running the poisoned attempt to completion would
+    # make it 40
+    assert len(calls) <= 30, len(calls)
+    for layer in m.all_layer:
+        for nd in layer:
+            if nd.type == 'gp':
+                assert np.all(np.isfinite(nd.output))
+
+
 def test_vecchia_update_xy():
     """update_xy in Vecchia mode: the conditional-mean latent extension must
     use the Vecchia path (reference cond_mean_vecch, vecchia.py:624-633) and

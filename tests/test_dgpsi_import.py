@@ -141,3 +141,53 @@ def test_lgp_container_import(dgpsi_mod, tmp_path):
     np.testing.assert_allclose(np.asarray(mu[0]).ravel(),
                                np.asarray(mu_ref[0]).ravel(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pre24_pickle_gfod_migration(tmp_path, monkeypatch):
+    """Pre-2.4 dgpsi pickles carry a 'gfod' attribute and store prior_coef in
+    the OLD parameterisation; the reference renormalises at load time
+    (kernel_class.__setstate__, kernel_class.py:146-158).  Stub loads (dgpsi
+    not importable) must apply the same migration."""
+    import pickle as pk
+    import types
+
+    # hide any previously imported dgpsi so the read takes the stub path
+    for key in [k for k in sys.modules
+                if k == 'dgpsi' or k.startswith('dgpsi.')]:
+        monkeypatch.delitem(sys.modules, key)
+    monkeypatch.setattr(sys, 'path', [p for p in sys.path
+                                      if 'reference' not in p
+                                      and 'refshim' not in p])
+
+    # craft a by-reference pickle whose class resolves to dgpsi.kernel
+    fake = types.ModuleType('dgpsi')
+
+    class kernel:  # noqa: N801 - mirrors the reference class name
+        pass
+
+    kernel.__module__ = 'dgpsi'
+    kernel.__qualname__ = 'kernel'
+    fake.kernel = kernel
+    monkeypatch.setitem(sys.modules, 'dgpsi', fake)
+
+    rs = np.random.RandomState(0)
+    Xin = rs.rand(10, 1)
+    obj = kernel()
+    obj.__dict__.update(
+        length=np.array([0.4]), scale=np.array([1.2]),
+        nugget=np.array([1e-6]), name='sexp', prior_name='ga',
+        # OLD ga parameterisation: shape is post-shim shape + 1
+        prior_coef=np.array([2.6, 2.0]),
+        gfod=None,  # pre-2.4 compiled-prior marker
+        input=Xin, output=np.sin(4 * Xin),
+        scale_est=True, nugget_est=False, D=1)
+    p = str(tmp_path / 'pre24.pkl')
+    with open(p, 'wb') as f:
+        pk.dump(obj, f)
+
+    monkeypatch.delitem(sys.modules, 'dgpsi')
+    from dgp_tpu import read_dgpsi
+    k = read_dgpsi(p)
+    assert type(k).__module__.startswith('dgp_tpu')
+    np.testing.assert_allclose(np.asarray(k.prior_coef)[0], 1.6)
+    assert not hasattr(k, 'gfod')
