@@ -4,12 +4,12 @@ Two layers of gating:
 
 1. Live reference-anchored gates (slow): the cheap demo configs run at
    FULL budget through the exact tools/parity.py code path and must pass
-   the same gates recorded in PARITY_r03.json -- thresholds anchored to
+   the same gates recorded in PARITY_r04.json -- thresholds anchored to
    dgpsi run on the identical draw (REF_ANCHORS.json).
 2. Reduced-budget smoke gates (slow): the two expensive configs
    (motorcycle Hetero, wine classification) at shortened budgets with
    correspondingly looser thresholds.
-3. Artifact gate (fast): every recorded PARITY_r03.json row must carry a
+3. Artifact gate (fast): every recorded PARITY_r04.json row must carry a
    reference anchor (where one exists) and a passing gate, so a regression
    in the recorded parity matrix fails the suite even when the slow live
    runs are deselected.
@@ -58,7 +58,8 @@ def _live_gate(name):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", ["step", "poisson", "dgp_poisson",
-                                  "linked", "2d", "negbin"])
+                                  "linked", "2d", "negbin",
+                                  "multioutput"])
 def test_parity_config_live(name):
     """Full-budget live run of a demo config through tools/parity.py,
     gated against the reference-on-same-draw anchor."""
@@ -67,12 +68,12 @@ def test_parity_config_live(name):
 
 def test_parity_artifact_gated():
     """Every recorded parity row has a passing reference-anchored gate."""
-    path = os.path.join(_ROOT, "PARITY_r03.json")
+    path = os.path.join(_ROOT, "PARITY_r04.json")
     if not os.path.exists(path):
         pytest.skip("no recorded parity matrix")
     with open(path) as fh:
         results = json.load(fh)
-    assert len(results) >= 9, sorted(results)
+    assert len(results) >= 10, sorted(results)
     for name, r in results.items():
         assert isinstance(r, dict) and "error" not in r, (name, r)
         g = r.get("gate")

@@ -2,7 +2,7 @@
 
 Reproduces each reference demo-notebook configuration (the reference's only
 acceptance tests -- SURVEY section 4) and records RMSE/NLL/log-loss numbers
-into PARITY_r03.json at the repo root.  Every row carries a reference
+into PARITY_r04.json at the repo root.  Every row carries a reference
 anchor: either the notebook's published number (wine, poisson/dgp_poisson
 own-draw NLLs) or -- for configs where the notebooks publish nothing -- the
 result of ACTUALLY RUNNING the reference library on the identical draw
@@ -20,9 +20,11 @@ tools/parity_data.py so the two sides are directly comparable.
   4. model_linking.ipynb 16-28   : GP -> DGP linked system via container/lgp
   5. vecchia_SI.ipynb            : n=5000 Vecchia-SI DGP, RMSE vs truth
 
+  6. multi-output.ipynb 2-6      : 2-layer DGP, n=13, two outputs
+
 Usage: python tools/parity.py [config ...]   (default: all)
 Configs: step, 2d, motorcycle, poisson, dgp_poisson, negbin, wine, linked,
-         vecchia
+         vecchia, multioutput
 """
 import json
 import os
@@ -39,7 +41,7 @@ sys.path.insert(0, _HERE)
 import parity_data as pdata  # noqa: E402
 
 T0 = time.time()
-OUT = os.path.join(_ROOT, "PARITY_r03.json")
+OUT = os.path.join(_ROOT, "PARITY_r04.json")
 ANCHORS = os.path.join(_ROOT, "REF_ANCHORS.json")
 
 
@@ -251,9 +253,35 @@ def vecchia():
     return {"rmse_vs_truth": round(rmse, 4), "noise_floor_sigma": 0.05}
 
 
+def multioutput():
+    """multi-output.ipynb cells 2-6: 2-layer DGP, n=13, two outputs sharing
+    one latent layer."""
+    from dgp_tpu import dgp, kernel, combine, emulator, nb_seed
+    nb_seed(99)
+    X, Y, z, truth = pdata.multioutput_data()
+    all_layer = combine(
+        [kernel(length=np.array([.5]), name='sexp')],
+        [kernel(length=np.array([.5]), name='sexp', connect=np.arange(1),
+                scale_est=True),
+         kernel(length=np.array([.5]), name='sexp', connect=np.arange(1),
+                scale_est=True)])
+    m = dgp(X, [Y], all_layer)
+    m.train(N=500, disable=True)
+    emu = emulator(m.estimate())
+    mu, var = emu.predict(z, method='mean_var')
+    mu = np.asarray(mu)
+    rmse = float(np.sqrt(np.mean((mu - truth) ** 2)))
+    return {"rmse_vs_truth": round(rmse, 4),
+            "rmse_out1": round(float(np.sqrt(np.mean(
+                (mu[:, 0] - truth[:, 0]) ** 2))), 4),
+            "rmse_out2": round(float(np.sqrt(np.mean(
+                (mu[:, 1] - truth[:, 1]) ** 2))), 4)}
+
+
 CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "poisson": poisson, "dgp_poisson": dgp_poisson, "negbin": negbin,
-           "wine": wine, "linked": linked, "vecchia": vecchia}
+           "wine": wine, "linked": linked, "vecchia": vecchia,
+           "multioutput": multioutput}
 
 
 # ----------------------------------------------------------------------
@@ -324,10 +352,17 @@ def _gate_vecchia(r, a):
              0.5 * r["noise_floor_sigma"])]
 
 
+def _gate_multioutput(r, a):
+    # n=13 with a shared latent: both samplers' rmse is draw-noisy, same
+    # multiplicative slack class as linked
+    return [("rmse_vs_truth", r["rmse_vs_truth"],
+             "<=", round(1.25 * a["rmse_vs_truth"], 4))]
+
+
 GATES = {"step": _gate_step, "2d": _gate_2d, "motorcycle": _gate_motorcycle,
          "poisson": _gate_poisson, "dgp_poisson": _gate_dgp_poisson,
          "negbin": _gate_negbin, "wine": _gate_wine, "linked": _gate_linked,
-         "vecchia": _gate_vecchia}
+         "vecchia": _gate_vecchia, "multioutput": _gate_multioutput}
 
 
 def apply_gate(name, result):

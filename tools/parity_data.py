@@ -3,7 +3,7 @@
 Both tools/parity.py (our framework) and tools/ref_anchor.py (the actual
 reference library running pure-Python under tools/refshim) import these,
 so the two sides train and score on IDENTICAL draws -- the anchor numbers
-in REF_ANCHORS.json are directly comparable to PARITY_r03.json rows.
+in REF_ANCHORS.json are directly comparable to PARITY_r04.json rows.
 
 Each function reproduces one reference demo notebook's data cells
 (file:cell citations inline); stochastic draws use a private RandomState
@@ -129,3 +129,15 @@ def vecchia_data():
     z = np.linspace(-1, 1, 2000)[:, None]
     truth = func(z)
     return X, Y, z, truth
+
+
+def multioutput_data():
+    """multi-output.ipynb cell 2: n=13, two outputs sharing one latent."""
+    X = np.linspace(0, 1, 13).reshape(-1, 1)
+    Y1 = 3 * np.cos(20 * X - 10)
+    Y2 = 2 * X * np.cos(20 * X - 10)
+    z = np.linspace(0, 1, 100).reshape(-1, 1)
+    t1 = 3 * np.cos(20 * z - 10)
+    t2 = 2 * z * np.cos(20 * z - 10)
+    return (X, np.concatenate((Y1, Y2), 1), z,
+            np.concatenate((t1, t2), 1))

@@ -3,7 +3,7 @@ under tools/refshim since numba/pathos aren't installed) on the parity
 configs, scoring on the identical data draws from tools/parity_data.py.
 
 Writes REF_ANCHORS.json at the repo root: per-config reference quality
-numbers that tools/parity.py merges into PARITY_r03.json rows and
+numbers that tools/parity.py merges into PARITY_r04.json rows and
 tests/test_parity_quality.py gates against.  Configs the pure-Python
 reference cannot finish in reasonable time (wine: 16 nodes x O(n^2 d)
 derivative loops; vecchia: n=5000) keep their published-notebook anchors
@@ -178,9 +178,34 @@ def linked():
     return {"rmse_vs_composed_truth": round(rmse, 4)}
 
 
+def multioutput():
+    """multi-output.ipynb cells 2-6 run by the reference."""
+    d = _load_reference()
+    d.nb_seed(99); np.random.seed(99)
+    X, Y, z, truth = pdata.multioutput_data()
+    all_layer = d.combine(
+        [d.kernel(length=np.array([.5]), name='sexp')],
+        [d.kernel(length=np.array([.5]), name='sexp', connect=np.arange(1),
+                  scale_est=True),
+         d.kernel(length=np.array([.5]), name='sexp', connect=np.arange(1),
+                  scale_est=True)])
+    m = d.dgp(X, [Y], all_layer)
+    m.train(N=500, disable=True)
+    emu = d.emulator(m.estimate())
+    mu, var = emu.predict(z, method='mean_var')
+    mu = np.asarray(mu)
+    rmse = float(np.sqrt(np.mean((mu - truth) ** 2)))
+    return {"rmse_vs_truth": round(rmse, 4),
+            "rmse_out1": round(float(np.sqrt(np.mean(
+                (mu[:, 0] - truth[:, 0]) ** 2))), 4),
+            "rmse_out2": round(float(np.sqrt(np.mean(
+                (mu[:, 1] - truth[:, 1]) ** 2))), 4)}
+
+
 CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "poisson": poisson, "dgp_poisson": dgp_poisson,
-           "negbin": negbin, "linked": linked}
+           "negbin": negbin, "linked": linked,
+           "multioutput": multioutput}
 TIMEOUTS = {"motorcycle": 14400, "negbin": 14400}
 
 
