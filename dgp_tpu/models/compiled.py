@@ -608,7 +608,8 @@ class CompiledDGP:
                                    y[nd_['ordv']][nd_['safeT']], 0.0)
                 ld, q = pv.block_loglik_multi_t(A, B, nd_['C'], yg,
                                                 nd_['diag'], cosv, sinv,
-                                                name=nd_['name'])
+                                                name=nd_['name'],
+                                                dl=nd_['dl'])
                 total = total - 0.5 * (
                     linalg.sum64(ld, axis=1)
                     + linalg.sum64(q, axis=1)

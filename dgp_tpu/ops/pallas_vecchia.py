@@ -56,28 +56,40 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
-def _fwd_pipeline(X, yv, diag, L, *, m1, name):
+def _corr_cols(Xl, xj, name):
+    """Correlation of rows Xl (r, d, B) against one row xj (1, d, B);
+    coordinates arrive pre-scaled by the lengthscales.  Both kernels are
+    per-dim PRODUCTS, so partial-dim results can be multiplied together."""
+    if name == "sexp":
+        return jnp.exp(-jnp.sum((Xl - xj) ** 2, axis=1))       # (r, B)
+    # matern2.5 (unrolled product: Mosaic has no reduce_prod)
+    ad = jnp.abs(Xl - xj)                         # (r, d, B)
+    d_dims = ad.shape[1]
+    coef = 1.0 + SQRT5 * ad[:, 0] + (5.0 / 3.0) * ad[:, 0] * ad[:, 0]
+    for t in range(1, d_dims):
+        coef = coef * (1.0 + SQRT5 * ad[:, t]
+                       + (5.0 / 3.0) * ad[:, t] * ad[:, t])
+    return coef * jnp.exp(-SQRT5 * jnp.sum(ad, axis=1))
+
+
+def _fwd_pipeline(X, yv, diag, L, *, m1, name, fac=None):
     """Shared per-slab pipeline: column Cholesky with the correlation
     columns built on the fly (no block-matrix scratch) -> forward
     substitution.  X/yv/diag are VALUES (the caller loads refs); L is a VMEM
-    scratch ref.  Returns (logdet_row (B,), quad_row (B,))."""
+    scratch ref.  ``fac``, if given, maps column j to a precomputed (static)
+    correlation factor for rows j+1.. -- the per-dim product structure of
+    both kernels lets candidate-invariant dimensions be factored out of the
+    per-candidate build (see _kernel_multi).  Returns (logdet_row (B,),
+    quad_row (B,))."""
     def k_col(j):
-        """Correlation of block rows j+1.. with row j (coordinates arrive
-        pre-scaled by the lengthscales).  Only the strict lower part is
-        built -- the column Cholesky never reads above the diagonal, and
-        the correlation build is ~half the kernel's VPU work."""
-        Xl = X[j + 1:]                            # (m1-j-1, d, B)
-        xj = X[j][None]                           # (1, d, B)
-        if name == "sexp":
-            return jnp.exp(-jnp.sum((Xl - xj) ** 2, axis=1))   # (m1-j-1, B)
-        # matern2.5 (unrolled product: Mosaic has no reduce_prod)
-        ad = jnp.abs(Xl - xj)                     # (m1-j-1, d, B)
-        d_dims = ad.shape[1]
-        coef = 1.0 + SQRT5 * ad[:, 0] + (5.0 / 3.0) * ad[:, 0] * ad[:, 0]
-        for t in range(1, d_dims):
-            coef = coef * (1.0 + SQRT5 * ad[:, t]
-                           + (5.0 / 3.0) * ad[:, t] * ad[:, t])
-        return coef * jnp.exp(-SQRT5 * jnp.sum(ad, axis=1))
+        """Correlation of block rows j+1.. with row j.  Only the strict
+        lower part is built -- the column Cholesky never reads above the
+        diagonal, and the correlation build is ~half the kernel's VPU
+        work."""
+        col = _corr_cols(X[j + 1:], X[j][None], name)
+        if fac is not None:
+            col = col * fac(j)
+        return col
 
     # column Cholesky, batch-vectorised (diagonal comes from `diag`)
     for j in range(m1):
@@ -118,7 +130,7 @@ def _kernel(x_ref, y_ref, diag_ref, logdet_ref, quad_ref, L, *, m1, name):
 
 
 def _kernel_multi(a_ref, b_ref, c_ref, y_ref, diag_ref, cos_ref, sin_ref,
-                  logdet_ref, quad_ref, L, *, m1, name):
+                  logdet_ref, quad_ref, L, G, *, m1, name, dl):
     """Evaluate one ESS candidate cos*A + sin*B + C of a (slab, candidate)
     grid.  The candidate axis is the FASTEST grid axis and the slab inputs'
     index maps ignore it, so Pallas keeps the slab data VMEM-resident across
@@ -128,13 +140,35 @@ def _kernel_multi(a_ref, b_ref, c_ref, y_ref, diag_ref, cos_ref, sin_ref,
     by the candidate count (~300 s at K=9).  The candidate angle is selected
     by the grid index (cos/sin and the outputs keep full-K blocks: TPU block
     shapes cannot tile the K axis); output rows accumulate in the resident
-    block across candidate steps and flush when the slab advances."""
+    block across candidate steps and flush when the slab advances.
+
+    Dimensions >= dl carry no candidate dependence (A/B are zero there; the
+    global coordinates live in C).  Both kernels are per-dim products, so
+    the static dims' pairwise correlation factor is computed ONCE per slab
+    (candidate grid step 0) into the slab-persistent scratch G and reused by
+    every candidate -- the per-candidate build covers only the dl latent
+    dims."""
     k = pl.program_id(1)
     ck = cos_ref[k, 0]
     sk = sin_ref[k, 0]
-    X = ck * a_ref[...] + sk * b_ref[...] + c_ref[...]
-    logdet, quad = _fwd_pipeline(X, y_ref[...], diag_ref[...],
-                                 L, m1=m1, name=name)
+    d = a_ref.shape[1]
+    if dl >= d or dl == 0:
+        X = ck * a_ref[...] + sk * b_ref[...] + c_ref[...]
+        logdet, quad = _fwd_pipeline(X, y_ref[...], diag_ref[...],
+                                     L, m1=m1, name=name)
+    else:
+        Cg = c_ref[:, dl:, :]
+
+        @pl.when(k == 0)
+        def _build_static():
+            for j in range(m1 - 1):
+                G[j + 1:, j] = _corr_cols(Cg[j + 1:], Cg[j][None], name)
+
+        X = (ck * a_ref[:, :dl, :] + sk * b_ref[:, :dl, :]
+             + c_ref[:, :dl, :])
+        logdet, quad = _fwd_pipeline(X, y_ref[...], diag_ref[...],
+                                     L, m1=m1, name=name,
+                                     fac=lambda j: G[j + 1:, j])
     logdet_ref[k] = logdet
     quad_ref[k] = quad
 
@@ -289,13 +323,18 @@ def block_loglik_parts_t(Xg, yg, diag, *, name):
     return logdet[0, :n], quad[0, :n]
 
 
-def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name):
+def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name, dl=None):
     """(logdet (K, n), quad (K, n)) for the K candidates cos*A + sin*B + C,
     in ONE kernel launch (transposed layout; see _kernel_multi).
 
-    A/B/C: (m1, d, n); yg/diag: (m1, n); cosv/sinv: (K,).
+    A/B/C: (m1, d, n); yg/diag: (m1, n); cosv/sinv: (K,).  ``dl`` marks the
+    number of leading candidate-dependent dims (the rest are static global
+    dims factored out of the per-candidate correlation build); defaults to
+    all dims.
     """
     m1, d, n = A.shape
+    if dl is None:
+        dl = d
     K_c = cosv.shape[0]
     Bsz = min(_SLAB, max(256, 1 << int(np.ceil(np.log2(max(n, 2))))))
     n_pad = ((n + Bsz - 1) // Bsz) * Bsz
@@ -304,7 +343,7 @@ def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name):
     B_p, = _pad_last([B], n, n_pad, m1, sentinel_for=-1)
     C_p, = _pad_last([C], n, n_pad, m1, sentinel_for=0)
 
-    kern = functools.partial(_kernel_multi, m1=m1, name=name)
+    kern = functools.partial(_kernel_multi, m1=m1, name=name, dl=int(dl))
     grid = (n_pad // Bsz, K_c)
     cs = cosv.reshape(K_c, 1).astype(A.dtype)
     sn = sinv.reshape(K_c, 1).astype(A.dtype)
@@ -331,6 +370,7 @@ def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name):
             ],
             scratch_shapes=[
                 pltpu.VMEM((m1, m1, Bsz), A.dtype),
+                pltpu.VMEM((m1, m1, Bsz), A.dtype),  # static-dim factor G
             ],
             interpret=_interpret(),
         )(A_p, B_p, C_p, yt, dt_, cs, sn)
@@ -339,17 +379,24 @@ def block_loglik_multi_t(A, B, C, yg, diag, cosv, sinv, *, name):
 
 def _grad_kernel(x_ref, y_ref, diag_ref, dnug_ref,
                  logdet_ref, quad_ref, dlogdet_ref, dquad_ref,
-                 K, L, *, m1, name, n_length, nugget_est):
+                 K, L, D2, *, m1, name, n_length, nugget_est):
     X = x_ref[...]          # (m1, d, B)
     yv = y_ref[...]         # (m1, B)
     diag = diag_ref[...]    # (m1, B)
     dnug = dnug_ref[...]    # (m1, B)
     d_dims = X.shape[1]
+    # isotropic sexp: dK/dlog l = 2 d2 K, with d2 the squared distance
+    # already computed while building K -- stash it (scratch D2) instead of
+    # recomputing the full distance pass per gradient row
+    keep_d2 = name == "sexp" and n_length == 1
 
     def k_row(a):
         xa = X[a][None]
         if name == "sexp":
-            return jnp.exp(-jnp.sum((X - xa) ** 2, axis=1))
+            d2 = jnp.sum((X - xa) ** 2, axis=1)
+            if keep_d2:
+                D2[a] = d2
+            return jnp.exp(-d2)
         ad = jnp.abs(X - xa)
         coef = 1.0 + SQRT5 * ad[:, 0] + (5.0 / 3.0) * ad[:, 0] * ad[:, 0]
         for t in range(1, d_dims):
@@ -363,8 +410,7 @@ def _grad_kernel(x_ref, y_ref, diag_ref, dnug_ref,
         Krow = K[a]
         if name == "sexp":
             if n_length == 1:
-                d2 = jnp.sum((X - xa) ** 2, axis=1)
-                dd = 2.0 * d2
+                dd = 2.0 * D2[a]
             else:
                 dt_ = (X[:, k] - X[a, k][None]) ** 2
                 dd = 2.0 * dt_
@@ -506,6 +552,8 @@ def block_nllik_grad_parts_t(Xg, yg, diag, dnug, *, name, n_length,
             scratch_shapes=[
                 pltpu.VMEM((m1, m1, B), Xg.dtype),
                 pltpu.VMEM((m1, m1, B), Xg.dtype),
+                pltpu.VMEM((m1 if (name == "sexp" and n_length == 1) else 1,
+                            m1, B), Xg.dtype),  # D2 (sexp-iso dK reuse)
             ],
             interpret=_interpret(),
         )(Xt, yt, dt_, dn_)

@@ -174,6 +174,44 @@ def test_cond_weights_pallas_matches_xla(name, monkeypatch):
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
 
 
+@pytest.mark.parametrize("name", ["sexp", "matern2.5"])
+def test_multi_candidate_factored_static_dims(name):
+    """block_loglik_multi_t with dl < d (candidate-invariant trailing global
+    dims factored into a once-per-slab correlation scratch) must reproduce
+    the full per-candidate build, including sentinel-padded invalid lanes
+    (mirrors CompiledDGP._build_angle_plan's view construction)."""
+    rs = np.random.RandomState(11)
+    m1, dl, dg, n, K = 6, 2, 2, 300, 7
+    d = dl + dg
+    A = np.zeros((m1, d, n))
+    B = np.zeros((m1, d, n))
+    A[:, :dl] = rs.uniform(-1, 1, (m1, dl, n))
+    B[:, :dl] = rs.uniform(-1, 1, (m1, dl, n))
+    C = np.zeros((m1, d, n))
+    C[:, dl:] = rs.uniform(-1, 1, (m1, dg, n))
+    # invalid lanes: sentinel coordinates on ALL dims, unit diag, zero target
+    valid = rs.uniform(size=(m1, n)) > 0.15
+    valid[-1] = True
+    sent = 1e7 + rs.uniform(0, 1e3, (m1, n))
+    for t in range(d):
+        C[:, t] = np.where(valid, C[:, t], sent)
+        A[:, t] = np.where(valid, A[:, t], 0.0)
+        B[:, t] = np.where(valid, B[:, t], 0.0)
+    yg = np.where(valid, rs.uniform(-1, 1, (m1, n)), 0.0)
+    diag = np.where(valid, 1.0 + 1e-3, 1.0)
+    ang = np.linspace(0.1, 2 * np.pi, K)
+    cosv, sinv = jnp.asarray(np.cos(ang)), jnp.asarray(np.sin(ang))
+    args = (jnp.asarray(A), jnp.asarray(B), jnp.asarray(C),
+            jnp.asarray(yg), jnp.asarray(diag), cosv, sinv)
+
+    ld_full, q_full = pv.block_loglik_multi_t(*args, name=name)
+    ld_fac, q_fac = pv.block_loglik_multi_t(*args, name=name, dl=dl)
+    np.testing.assert_allclose(np.asarray(ld_fac), np.asarray(ld_full),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(q_fac), np.asarray(q_full),
+                               rtol=1e-9, atol=1e-11)
+
+
 def test_grid_covers_multiple_slabs():
     """n larger than one slab exercises the grid path with padding."""
     X, y, NN, nd = _setup(n=1100, d=1, m=5, seed=5)

@@ -4,10 +4,11 @@ configs, scoring on the identical data draws from tools/parity_data.py.
 
 Writes REF_ANCHORS.json at the repo root: per-config reference quality
 numbers that tools/parity.py merges into PARITY_r04.json rows and
-tests/test_parity_quality.py gates against.  Configs the pure-Python
-reference cannot finish in reasonable time (wine: 16 nodes x O(n^2 d)
-derivative loops; vecchia: n=5000) keep their published-notebook anchors
-instead.
+tests/test_parity_quality.py gates against.  The one config the pure-Python
+reference cannot finish in reasonable time (vecchia: n=5000) keeps its
+published-notebook anchor instead; wine is slow (~1-2 h: 16 nodes x
+O(n^2 d) derivative loops) but feasible and anchored at the notebook's
+exact N=200 protocol.
 
 Usage: python tools/ref_anchor.py [config ...]   (default: all feasible)
 """
@@ -155,6 +156,29 @@ def negbin():
             "test_nllik": round(nll, 4)}
 
 
+def wine():
+    """DGP_classification.ipynb cells 2-10 run by the reference on the
+    identical 80/20 split (notebook protocol: train N=200, emulator N=50).
+    16 GP nodes at d=13 make this the slowest anchor (~1-2 h pure-Python)."""
+    d = _load_reference()
+    np.random.seed(99)
+    d.nb_seed(99)
+    Xtr, Xte, ytr, yte = pdata.wine_data()
+    layer1 = [d.kernel(length=np.array([1]), name='matern2.5', nugget=1e-6)
+              for _ in range(Xtr.shape[1])]
+    layer2 = [d.kernel(length=np.array([1]), name='matern2.5', scale_est=True,
+                       nugget=1e-4, nugget_est=True) for _ in range(3)]
+    m = d.dgp(Xtr, ytr.reshape(-1, 1), d.combine(layer1, layer2,
+                                                 [d.Categorical()]))
+    m.train(N=200, disable=True)
+    emu = d.emulator(m.estimate())
+    from sklearn.metrics import log_loss, accuracy_score
+    prob = emu.predict(Xte)[0]
+    return {"dgp_log_loss": round(float(log_loss(yte, prob)), 4),
+            "dgp_accuracy": round(float(accuracy_score(
+                yte, np.argmax(prob, axis=1))), 4)}
+
+
 def linked():
     """model_linking.ipynb cells 16-28 run by the reference."""
     d = _load_reference()
@@ -204,9 +228,9 @@ def multioutput():
 
 CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "poisson": poisson, "dgp_poisson": dgp_poisson,
-           "negbin": negbin, "linked": linked,
+           "negbin": negbin, "linked": linked, "wine": wine,
            "multioutput": multioutput}
-TIMEOUTS = {"motorcycle": 14400, "negbin": 14400}
+TIMEOUTS = {"motorcycle": 14400, "negbin": 14400, "wine": 21600}
 
 
 def _run_one(name):
