@@ -415,6 +415,64 @@ class CompiledDGP:
                 total = total + self._lik_loglik(k, latents)
         return total
 
+    def _chunk_static(self, nn_state):
+        """Chunk-invariant gathered NN views, one stacked gather per node.
+
+        Gathers whose source is the training scan's carry (latents) lower to
+        slow elementwise loop fusions on TPU (~17 ms per gathered (m1, n)
+        vector at n=1e5 on v5e, vs ~0.5 ms for a standalone gather), and the
+        same pathology hits loop-invariant gathers XLA fails to hoist out of
+        the while body.  Everything whose source AND indices are fixed across
+        a train_chunk -- the global X columns, y_final, the replicate diag,
+        and the NN index structure -- is gathered HERE, once per chunk,
+        outside the scan; per-iteration code applies only the cheap
+        parameter-dependent elementwise transforms.  Returns {(l, k): dict}
+        for every Vecchia GP node."""
+        cs = {}
+        dt = self.dtype
+        for l, layer in enumerate(self.spec):
+            for k, sp in enumerate(layer):
+                if sp.kind != 'gp' or not sp.vecch:
+                    continue
+                ns = nn_state[l][k]
+                if ns is None or 'NN' not in ns:
+                    continue
+                ordv = ns['ord']
+                rev = jnp.flip(ns['NN'], axis=1)
+                validT = (rev >= 0).T                    # (m1, n)
+                safeT = jnp.where(validT, rev.T, 0)
+                # composed index: src[idx_comp] == src[ordv][safeT]
+                idx_comp = ordv[safeT]
+                n = ordv.shape[0]
+                dl = len(sp.input_dim)
+                # static input columns: the full input for layer 0, the
+                # global-connect columns for deeper layers
+                if l == 0:
+                    stat_cols = [self.X[:, c] for c in sp.input_dim]
+                else:
+                    stat_cols = []
+                if sp.connect is not None:
+                    stat_cols += [self.X[:, c] for c in sp.connect]
+                w_diag = (self.w_diag[k]
+                          if (sp.is_final and sp.has_rep) else None)
+                nd = w_diag if w_diag is not None else jnp.ones(n, dt)
+                rows = stat_cols + [nd]
+                if sp.is_final:
+                    rows.append(self.y_final[k].astype(dt))
+                src = jnp.stack(rows, axis=0)            # (r, n)
+                G = jnp.swapaxes(src[:, idx_comp], 0, 1)  # (m1, r, n)
+                d_s = len(stat_cols)
+                entry = {
+                    'ordv': ordv, 'validT': validT, 'safeT': safeT,
+                    'idx_comp': idx_comp,
+                    'Xg_stat': G[:, :d_s, :],            # raw, unmasked
+                    'nd_g': jnp.where(validT, G[:, d_s, :], 0.0),
+                }
+                entry['yg_stat'] = (jnp.where(validT, G[:, d_s + 1, :], 0.0)
+                                    if sp.is_final else None)
+                cs[(l, k)] = entry
+        return cs
+
     def _draw_prior_node(self, l, k, latents, params, nn_state, key):
         """nu ~ N(0, scale * K) for one hidden node (dense Cholesky or
         Vecchia ancestral sampling)."""
@@ -431,7 +489,8 @@ class CompiledDGP:
         L = linalg.safe_cholesky(K)
         return linalg.mvn_sample(key, L)
 
-    def _draw_prior_node_batch(self, l, k, latents, params, nn_state, key, S):
+    def _draw_prior_node_batch(self, l, k, latents, params, nn_state, key, S,
+                               cs=None):
         """S iid prior draws for a node whose input is static within the
         I-step (layer 0: inputs are the global X).  Amortises the sequential
         ancestral-sampling scan across all ESS sweeps of an SEM iteration."""
@@ -441,8 +500,17 @@ class CompiledDGP:
         n = Xn.shape[0]
         if sp.vecch:
             ns = nn_state[l][k]
+            pre = None
+            if cs is not None and l == 0 and (l, k) in cs:
+                st = cs[(l, k)]
+                # layer-0 inputs are global: the raw NN gather is
+                # chunk-static.  nd here is all-ones (prior draws carry no
+                # replicate diag), matching the nugget_diag=None default.
+                ones_g = jnp.where(st['validT'], 1.0, 0.0).astype(self.dtype)
+                pre = (st['Xg_stat'], ones_g, st['validT'])
             w, sigma, idx_asc, _ = vcore.cond_weights(
-                Xn[ns['ord']], ns['NN'], p['length'], p['nugget'], sp.name)
+                Xn[ns['ord']], ns['NN'], p['length'], p['nugget'], sp.name,
+                pre=pre)
             eps = (jax.random.normal(key, (S, n), self.dtype)
                    * jnp.sqrt(p['scale']) * sigma[None, :])
             samp = vcore.ancestral_sample(eps, w, idx_asc)
@@ -522,7 +590,8 @@ class CompiledDGP:
                 [G, jnp.zeros((m1, nd_['dg'], n), G.dtype)], axis=1)
         return G
 
-    def _build_angle_plan(self, l, latents, params, nn_state, pre_nu, S):
+    def _build_angle_plan(self, l, latents, params, nn_state, pre_nu, S,
+                          cs=None):
         """Per-I-step static views for layer l's angle evaluator (or None).
 
         ESS candidates are linear in (f, nu), so each upper node's gathered,
@@ -545,13 +614,17 @@ class CompiledDGP:
                 continue
             p = params[l + 1][j]
             ns = nn_state[l + 1][j]
+            st = cs.get((l + 1, j)) if cs is not None else None
             dl = len(sp.input_dim)
             dg = len(sp.connect) if sp.connect is not None else 0
             length_full = jnp.broadcast_to(p['length'], (dl + dg,))
-            ordv = ns['ord']
-            rev = jnp.flip(ns['NN'], axis=1)
-            validT = (rev >= 0).T
-            safeT = jnp.where(validT, rev.T, 0)
+            if st is not None:
+                ordv, validT, safeT = st['ordv'], st['validT'], st['safeT']
+            else:
+                ordv = ns['ord']
+                rev = jnp.flip(ns['NN'], axis=1)
+                validT = (rev >= 0).T
+                safeT = jnp.where(validT, rev.T, 0)
             m1 = safeT.shape[0]
             sent = (1e7 + jnp.arange(n, dtype=dt)[None, :] * 1e3
                     + jnp.arange(m1, dtype=dt)[:, None] * 7e2)
@@ -560,33 +633,53 @@ class CompiledDGP:
                        validT=validT, s_lat=length_full[:dl],
                        scale=p['scale'], is_final=sp.is_final)
             if dg:
-                Gg = (self.X[:, list(sp.connect)][ordv] / length_full[dl:]).T
-                Cg = jnp.swapaxes(Gg[:, safeT], 0, 1)
+                if st is not None:
+                    Cg = st['Xg_stat'] / length_full[dl:, None]
+                else:
+                    Gg = (self.X[:, list(sp.connect)][ordv]
+                          / length_full[dl:]).T
+                    Cg = jnp.swapaxes(Gg[:, safeT], 0, 1)
                 C = jnp.concatenate([jnp.zeros((m1, dl, n), dt), Cg], axis=1)
             else:
                 C = jnp.zeros((m1, dl, n), dt)
             nd_['C'] = jnp.where(validT[:, None, :], C, sent[:, None, :])
-            w_diag = self.w_diag[j] if (sp.is_final and sp.has_rep) else None
-            ndiag = w_diag if w_diag is not None else jnp.ones(n, dt)
+            if st is not None:
+                ndiag_g = st['nd_g']
+            else:
+                w_diag = (self.w_diag[j]
+                          if (sp.is_final and sp.has_rep) else None)
+                ndiag = w_diag if w_diag is not None else jnp.ones(n, dt)
+                ndiag_g = ndiag[ordv][safeT]
             nd_['diag'] = jnp.where(
-                validT, 1.0 + p['nugget'] * ndiag[ordv][safeT]
+                validT, 1.0 + p['nugget'] * ndiag_g
                 + vcore._f32_jitter(jnp.dtype(dt)), 1.0)
             if sp.is_final:
-                nd_['yg'] = jnp.where(validT, self.y_final[j][ordv][safeT], 0.0)
+                nd_['yg'] = (st['yg_stat'] if st is not None else
+                             jnp.where(validT,
+                                       self.y_final[j][ordv][safeT], 0.0))
             else:
                 nd_['yg'] = None
-            nd_['A0'] = self._gather_latent_view(nd_, latents[l])
             nd_['B_all'] = None
             if pre_nu is not None and all((l, c) in pre_nu for c in nd_['cols']):
+                # ONE batched gather for the A0 view and all S nu views:
+                # stack the current latents on top of the S prior draws so
+                # the slow per-vector gather is paid once, not S+1 times.
                 nu_all = jnp.stack([pre_nu[(l, c)] for c in nd_['cols']],
                                    axis=2)              # (S, n, dl)
-                Ms = jnp.moveaxis(nu_all[:, ordv, :] / nd_['s_lat'], 1, 2)
-                G = jnp.moveaxis(Ms[:, :, safeT], 2, 1)  # (S, m1, dl, n)
+                lat0 = latents[l][:, nd_['cols']][None]  # (1, n, dl)
+                allv = jnp.concatenate([lat0, nu_all], axis=0)
+                Ms = jnp.moveaxis(allv / nd_['s_lat'], 1, 2)  # (S+1, dl, n)
+                idx_comp = (st['idx_comp'] if st is not None
+                            else ordv[safeT])
+                G = jnp.moveaxis(Ms[:, :, idx_comp], 2, 1)  # (S+1, m1, dl, n)
                 G = jnp.where(validT[None, :, None, :], G, 0.0)
                 if dg:
                     G = jnp.concatenate(
-                        [G, jnp.zeros((S, m1, dg, n), dt)], axis=2)
-                nd_['B_all'] = G
+                        [G, jnp.zeros((S + 1, m1, dg, n), dt)], axis=2)
+                nd_['A0'] = G[0]
+                nd_['B_all'] = G[1:]
+            else:
+                nd_['A0'] = self._gather_latent_view(nd_, latents[l])
             nodes.append(nd_)
         lik_nodes = [j for j, sp in enumerate(self.spec[l + 1])
                      if sp.kind == 'likelihood']
@@ -735,7 +828,7 @@ class CompiledDGP:
                                                    keys[l], pre_nu, s)
         return latents, views
 
-    def _i_step(self, latents, params, nn_state, key, burnin):
+    def _i_step(self, latents, params, nn_state, key, burnin, cs=None):
         S = burnin + 1
         key, k_pre = jax.random.split(key)
         # Prior draws for layer-0 nodes are iid across sweeps (their inputs
@@ -746,11 +839,11 @@ class CompiledDGP:
             for k, sp in enumerate(self.spec[0]):
                 if sp.kind == 'gp':
                     pre_nu[(0, k)] = self._draw_prior_node_batch(
-                        0, k, latents, params, nn_state, pre_keys[k], S)
+                        0, k, latents, params, nn_state, pre_keys[k], S, cs)
 
         plans = tuple(
             self._build_angle_plan(l, latents, params, nn_state,
-                                   pre_nu if l == 0 else None, S)
+                                   pre_nu if l == 0 else None, S, cs)
             for l in range(self.n_layer - 1))
         views0 = tuple(
             None if plan is None else tuple(nd_['A0'] for nd_ in plan['nodes'])
@@ -788,7 +881,7 @@ class CompiledDGP:
         return jnp.asarray(lb, self.dtype), jnp.asarray(ub, self.dtype)
 
     def _node_operands(self, l, k, sp, latents, params, nn_state, d_max, p_max,
-                       mode):
+                       mode, cs=None):
         """Stackable operands for one GP node in the batched M-step."""
         dt = self.dtype
         p = params[l][k]
@@ -842,9 +935,42 @@ class CompiledDGP:
         if mode == 'vecch':
             from ..ops import pallas_vecchia as pv
             ns = nn_state[l][k]
-            Xg_raw, yg, nug_g, valid = pv.gather_raw_t(
-                Xn[ns['ord']], y[ns['ord']], ns['NN'], nd[ns['ord']])
-            op.update(Xg_raw=Xg_raw, yg=yg, nug_g=nug_g, valid=valid)
+            st = cs.get((l, k)) if cs is not None else None
+            if st is not None:
+                # Only the latent-sourced columns change across the chunk;
+                # gather them here (one stacked gather) and splice with the
+                # chunk-static views of the X columns / y_final / diag.
+                valid = st['validT']
+                m1 = valid.shape[0]
+                dyn_rows = ([latents[l - 1][:, c] for c in sp.input_dim]
+                            if l > 0 else [])
+                if not sp.is_final:
+                    dyn_rows.append(latents[l][:, k])
+                if dyn_rows:
+                    srcd = jnp.stack(dyn_rows, axis=0)        # (r, n)
+                    r = srcd.shape[0]
+                    if r == 1:
+                        # single-row gathers lower to a slow 1-D path on TPU
+                        # (~17 ms vs ~7 ms for a 2-row gather at n=1e5 on
+                        # v5e); a duplicated row keeps the fast 2-D layout
+                        srcd = jnp.concatenate([srcd, srcd], axis=0)
+                    Gd = jnp.swapaxes(srcd[:, st['idx_comp']], 0, 1)[:, :r, :]
+                else:
+                    Gd = None
+                parts = []
+                if l > 0 and d_k > 0:
+                    parts.append(Gd[:, :len(sp.input_dim), :])
+                parts.append(st['Xg_stat'])
+                if d_k < d_max:
+                    parts.append(jnp.zeros((m1, d_max - d_k, n), dt))
+                Xg_raw = jnp.concatenate(parts, axis=1)
+                yg = (st['yg_stat'] if sp.is_final else
+                      jnp.where(valid, Gd[:, -1, :], 0.0))
+                op.update(Xg_raw=Xg_raw, yg=yg, nug_g=st['nd_g'], valid=valid)
+            else:
+                Xg_raw, yg, nug_g, valid = pv.gather_raw_t(
+                    Xn[ns['ord']], y[ns['ord']], ns['NN'], nd[ns['ord']])
+                op.update(Xg_raw=Xg_raw, yg=yg, nug_g=nug_g, valid=valid)
         else:
             op.update(X=Xn, y=y, w_diag=nd)
 
@@ -860,7 +986,7 @@ class CompiledDGP:
         maxfun = jnp.asarray(mf, jnp.int32)
         return op, lt0, lb, ub, maxfun
 
-    def _m_step(self, latents, params, nn_state):
+    def _m_step(self, latents, params, nn_state, cs=None):
         from . import mstep
         from ..ops import pallas_vecchia as pv
 
@@ -881,7 +1007,7 @@ class CompiledDGP:
             p_max = max(sp.n_length + (1 if sp.nugget_est else 0)
                         for _, _, sp in es)
             built = [self._node_operands(l, k, sp, latents, params, nn_state,
-                                         d_max, p_max, mode)
+                                         d_max, p_max, mode, cs)
                      for l, k, sp in es]
             ops = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
                                          *[b[0] for b in built])
@@ -971,7 +1097,9 @@ class CompiledDGP:
             @partial(jax.jit, static_argnums=(3,))
             def f(state, nn_state, key, burnin):
                 latents, params = state
-                latents = self._i_step(latents, params, nn_state, key, burnin)
+                cs = self._chunk_static(nn_state)
+                latents = self._i_step(latents, params, nn_state, key, burnin,
+                                       cs)
                 return latents, params
             return f
 
@@ -990,12 +1118,18 @@ class CompiledDGP:
         def build():
             @partial(jax.jit, static_argnums=(3, 4))
             def f(state, nn_state, key, n_iters, ess_burn):
+                # chunk-invariant NN gathers, hoisted out of the scan (the
+                # scan body would re-run them per iteration as slow loop
+                # fusions -- see _chunk_static)
+                cs = self._chunk_static(nn_state)
+
                 def body(carry, k):
                     latents, params = carry
                     k1, _ = jax.random.split(k)
-                    latents = self._i_step(latents, params, nn_state, k1, ess_burn)
+                    latents = self._i_step(latents, params, nn_state, k1,
+                                           ess_burn, cs)
                     r2 = self._r2_vector(latents)
-                    params = self._m_step(latents, params, nn_state)
+                    params = self._m_step(latents, params, nn_state, cs)
                     return (latents, params), (self._para_vector(params), r2)
 
                 keys = jax.random.split(key, n_iters)

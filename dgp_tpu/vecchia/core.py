@@ -193,12 +193,20 @@ def vecchia_nllik_fg(log_theta, X, y, NNarray, nugget_diag, *, name, n_length,
     return nll, g.astype(log_theta.dtype), scale
 
 
-def cond_weights(X, NNarray, length, nugget, name, nugget_diag=None):
+def cond_weights(X, NNarray, length, nugget, name, nugget_diag=None,
+                 pre=None):
     """Per-point conditional weights for ancestral Vecchia sampling.
 
     For each ordered point i with ascending neighbour set N(i):
         x_i | x_N(i) ~ N(w_i . x_N(i), scale * sigma_i^2)
-    Returns (w (n, m), sigma (n,), idx_asc (n, m), valid (n, m))."""
+    Returns (w (n, m), sigma (n,), idx_asc (n, m), valid (n, m)).
+
+    ``pre`` optionally carries the parameter-independent gathered blocks
+    (Xg_raw (m1, d, n), nug_g (m1, n), validT (m1, n)) from
+    pallas_vecchia.gather_raw_t.  Inside a training scan the NN gather is
+    loop-invariant while length/nugget are not; hoisting it to the caller
+    avoids re-gathering every iteration (gathers of carry-dependent sources
+    lower to slow loop fusions on TPU)."""
     from ..ops import pallas_vecchia as pv
 
     n = X.shape[0]
@@ -206,8 +214,14 @@ def cond_weights(X, NNarray, length, nugget, name, nugget_diag=None):
     rev = jnp.flip(NNarray, axis=1)
     valid = rev >= 0
     if pv.use_pallas(X.dtype, NNarray.shape[1]):
-        Xg, _, diag = pv.gather_scale_t(X, jnp.zeros(n, X.dtype), NNarray,
-                                        length, nugget, nd, _f32_jitter(X.dtype))
+        if pre is not None:
+            Xg_raw, nug_g, validT = pre
+            Xg, diag, _ = pv.scale_blocks_t(Xg_raw, nug_g, validT, length,
+                                            nugget, _f32_jitter(X.dtype))
+        else:
+            Xg, _, diag = pv.gather_scale_t(X, jnp.zeros(n, X.dtype), NNarray,
+                                            length, nugget, nd,
+                                            _f32_jitter(X.dtype))
         w_t, sigma = pv.cond_weights_t(Xg, diag, name=name)
         w = w_t.T
     else:
@@ -280,17 +294,15 @@ def ancestral_sample(eps, w, idx_asc, block=512):
     base = (jnp.arange(n_pad, dtype=idx_asc.dtype) // B) * B
     rel = idx_asc - base[:, None]                       # (n_pad, m)
     in_blk = (rel >= 0) & (w != 0)
-    # masked lanes -> index B: genuinely out of range high for the (n_pad, B)
-    # buffer, so mode='drop' discards them.  (-1 would WRAP to column B-1 --
-    # JAX wraps negative scatter indices -- colliding with real updates and
-    # voiding the unique_indices promise.)
+    # masked lanes -> index B, which matches no column in [0, B) below and
+    # drops out naturally.  Built as a compare-select reduction over the m
+    # neighbour lanes rather than a scatter: the scatter form measured
+    # ~15 ms/iter at n=1e5 on v5e, the fused one-hot reduction ~2 ms.
     rel_safe = jnp.where(in_blk, rel, B)
-    rows = jnp.broadcast_to(jnp.arange(n_pad)[:, None], rel.shape)
-    # distinct neighbour indices per row -> unique_indices lets XLA lower
-    # the scatter without duplicate-combining (measured ~22 ms/iter at
-    # n=1e5 for the combining form on v5e)
-    Wflat = jnp.zeros((n_pad, B), w.dtype).at[rows, rel_safe].add(
-        jnp.where(in_blk, w, 0.0), mode='drop', unique_indices=True)
+    cols_r = jnp.arange(B, dtype=rel.dtype)
+    w_in = jnp.where(in_blk, w, 0.0)
+    Wflat = jnp.sum(jnp.where(rel_safe[:, :, None] == cols_r[None, None, :],
+                              w_in[:, :, None], 0.0), axis=1)
     W_bb = Wflat.reshape(nb, B, B)
     M = _unitri_inverse(W_bb)                           # (nb, B, B)
 

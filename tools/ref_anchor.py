@@ -179,6 +179,32 @@ def wine():
                 yte, np.argmax(prob, axis=1))), 4)}
 
 
+def wine_reduced():
+    """Reduced-budget wine anchor: identical draws/protocol to wine() but
+    train N=25 / emulator N=10.  The full notebook protocol (N=200) costs
+    ~19 h under the pure-Python refshim (346 s/iter measured) -- beyond any
+    driver budget -- so the same-draw gate anchors this reduced run on BOTH
+    sides; the published notebook number (log-loss 0.059, N=200) remains the
+    full-protocol target."""
+    d = _load_reference()
+    np.random.seed(99)
+    d.nb_seed(99)
+    Xtr, Xte, ytr, yte = pdata.wine_data()
+    layer1 = [d.kernel(length=np.array([1]), name='matern2.5', nugget=1e-6)
+              for _ in range(Xtr.shape[1])]
+    layer2 = [d.kernel(length=np.array([1]), name='matern2.5', scale_est=True,
+                       nugget=1e-4, nugget_est=True) for _ in range(3)]
+    m = d.dgp(Xtr, ytr.reshape(-1, 1), d.combine(layer1, layer2,
+                                                 [d.Categorical()]))
+    m.train(N=25, disable=True)
+    emu = d.emulator(m.estimate(), N=10)
+    from sklearn.metrics import log_loss, accuracy_score
+    prob = emu.predict(Xte)[0]
+    return {"dgp_log_loss": round(float(log_loss(yte, prob)), 4),
+            "dgp_accuracy": round(float(accuracy_score(
+                yte, np.argmax(prob, axis=1))), 4)}
+
+
 def linked():
     """model_linking.ipynb cells 16-28 run by the reference."""
     d = _load_reference()
@@ -229,8 +255,9 @@ def multioutput():
 CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "poisson": poisson, "dgp_poisson": dgp_poisson,
            "negbin": negbin, "linked": linked, "wine": wine,
-           "multioutput": multioutput}
-TIMEOUTS = {"motorcycle": 14400, "negbin": 14400, "wine": 21600}
+           "wine_reduced": wine_reduced, "multioutput": multioutput}
+TIMEOUTS = {"motorcycle": 14400, "negbin": 14400, "wine": 21600,
+            "wine_reduced": 18000}
 
 
 def _run_one(name):
