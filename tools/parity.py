@@ -210,6 +210,31 @@ def wine():
             "reference_dgp_log_loss": 0.0590, "reference_dgp_accuracy": 1.000}
 
 
+def wine_reduced():
+    """Reduced-budget wine row for the same-draw gate: train N=25, emulator
+    N=10, identical draws/protocol to tools/ref_anchor.py::wine_reduced (the
+    full N=200 notebook protocol costs ~19 h under the pure-Python refshim,
+    so the same-draw comparison anchors this reduced run on both sides; the
+    published 0.059 full-protocol number stays the `wine` row's target)."""
+    from sklearn.metrics import log_loss, accuracy_score
+    from dgp_tpu import dgp, kernel, combine, emulator, Categorical, nb_seed
+
+    np.random.seed(99)
+    nb_seed(99)
+    Xtr, Xte, ytr, yte = pdata.wine_data()
+    layer1 = [kernel(length=np.array([1]), name='matern2.5', nugget=1e-6)
+              for _ in range(Xtr.shape[1])]
+    layer2 = [kernel(length=np.array([1]), name='matern2.5', scale_est=True,
+                     nugget=1e-4, nugget_est=True) for _ in range(3)]
+    m = dgp(Xtr, ytr.reshape(-1, 1), combine(layer1, layer2, [Categorical()]))
+    m.train(N=25, disable=True)
+    emu = emulator(m.estimate(), N=10)
+    prob = emu.predict(Xte)[0]
+    return {"dgp_log_loss": round(float(log_loss(yte, prob)), 4),
+            "dgp_accuracy": round(float(accuracy_score(
+                yte, np.argmax(prob, axis=1))), 4)}
+
+
 def linked():
     """model_linking.ipynb cells 16-28: GP(f1) -> DGP(f2) via container/lgp."""
     from dgp_tpu import (dgp, gp, kernel, combine, container, lgp, nb_seed)
@@ -280,8 +305,8 @@ def multioutput():
 
 CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "poisson": poisson, "dgp_poisson": dgp_poisson, "negbin": negbin,
-           "wine": wine, "linked": linked, "vecchia": vecchia,
-           "multioutput": multioutput}
+           "wine": wine, "wine_reduced": wine_reduced, "linked": linked,
+           "vecchia": vecchia, "multioutput": multioutput}
 
 
 # ----------------------------------------------------------------------
@@ -365,9 +390,20 @@ def _gate_multioutput(r, a):
              "<=", round(1.25 * a["rmse_vs_truth"], 4))]
 
 
+def _gate_wine_reduced(r, a):
+    # same-draw, same-budget comparison (the only wine row with a same-draw
+    # anchor).  Log-loss at N=25/N=10 is draw-noisy on 36 test points, so
+    # the slack class is multiplicative like linked/multioutput.
+    return [("dgp_log_loss", r["dgp_log_loss"], "<=",
+             round(1.25 * a["dgp_log_loss"] + 0.01, 4)),
+            ("dgp_accuracy", r["dgp_accuracy"], ">=",
+             round(a["dgp_accuracy"] - 1.0 / 36 - 1e-9, 4))]
+
+
 GATES = {"step": _gate_step, "2d": _gate_2d, "motorcycle": _gate_motorcycle,
          "poisson": _gate_poisson, "dgp_poisson": _gate_dgp_poisson,
-         "negbin": _gate_negbin, "wine": _gate_wine, "linked": _gate_linked,
+         "negbin": _gate_negbin, "wine": _gate_wine,
+         "wine_reduced": _gate_wine_reduced, "linked": _gate_linked,
          "vecchia": _gate_vecchia, "multioutput": _gate_multioutput}
 
 
