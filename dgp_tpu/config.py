@@ -71,6 +71,12 @@ def ess_spec(n):
 #: restarts converge within the cap) and a 0.004-nat train-NLL change on
 #: motorcycle (0.3554 vs 0.3598) at ~2.7x the M-step wall time -- the cap
 #: is not the source of any measured parity gap.
+#:
+#: cap=12 was evaluated for LARGE n in round 4 (12% faster SEM iterations at
+#: n=1e5: 258 vs 290 ms/iter on v5e) and REJECTED: over 3 paired seeds of a
+#: 48-iteration n=1e5 train-from-scratch, rmse-vs-truth moved 0.0080->0.0094,
+#: 0.0115->0.0103, 0.0089->0.0105 (mean 0.0095->0.0101) -- within seed noise
+#: but directionally worse on 2/3 pairs; not worth the headline.
 MSTEP_MAXFUN_CAP = 16
 
 # env override (used by tools/mstep_cap_compare.py to A/B the cap against

@@ -136,22 +136,24 @@ class CompiledDGP:
         self.n_orig = float(len(rep)) if rep is not None else float(n)
 
     def get_state(self):
-        dt = self.dtype
+        dt = np.dtype(self.dtype)
         latents = tuple(
-            jnp.asarray(np.column_stack([node.output[:, 0] for node in layer]), dt)
+            np.column_stack([node.output[:, 0] for node in layer]).astype(dt)
             for layer in self.all_layer[:-1]
         )
         params = tuple(
             tuple(
-                {'length': jnp.asarray(node.length, dt),
-                 'nugget': jnp.asarray(float(node.nugget[0]), dt),
-                 'scale': jnp.asarray(float(node.scale[0]), dt)}
+                {'length': np.asarray(node.length, dt),
+                 'nugget': dt.type(node.nugget[0]),
+                 'scale': dt.type(node.scale[0])}
                 if node.type == 'gp' else None
                 for node in layer
             )
             for layer in self.all_layer
         )
-        return latents, params
+        # ONE pipelined host->device transfer for the whole tree (per-leaf
+        # jnp.asarray paid a dispatch each over the device tunnel)
+        return jax.device_put((latents, params))
 
     def get_nn_state(self):
         """Per-node Vecchia ordering/neighbour arrays (None for dense nodes).

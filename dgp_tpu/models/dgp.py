@@ -584,10 +584,16 @@ class dgp:
                 import time as _time
                 _dbg = _os.environ.get('DGP_TPU_DEBUG_TIMING')
                 _t0 = _time.perf_counter() if _dbg else 0.0
-                snapshots = _jax.device_get(snapshots)
+                # ONE pipelined transfer for snapshots + final state: the
+                # separate snapshot / latent-finiteness / set_state fetches
+                # each paid a blocking tunnel round-trip (~30 ms RTT to the
+                # remote chip, 3x per train() call in the bench's timed
+                # window); set_state's device_get is a passthrough on the
+                # already-host tree.
+                snapshots, state = _jax.device_get((snapshots, state))
                 if _dbg:
                     import sys as _sys
-                    print(f"[snapshots fetch: "
+                    print(f"[snapshots+state fetch: "
                           f"{(_time.perf_counter()-_t0)*1e3:.0f} ms]",
                           file=_sys.stderr, flush=True)
                 ok = all(np.all(np.isfinite(p)) for chunk in snapshots[0]
@@ -601,8 +607,7 @@ class dgp:
                     ok = all(np.all(np.isfinite(p)) for chunk in snapshots[1]
                              for p in chunk)
                 if ok:
-                    latents = _jax.device_get(state[0])
-                    ok = all(np.all(np.isfinite(f)) for f in latents)
+                    ok = all(np.all(np.isfinite(f)) for f in state[0])
             if ok:
                 engine.set_state(state)
                 if nn_dev is not None:

@@ -352,6 +352,12 @@ def _gate_poisson(r, a):
 
 
 def _gate_dgp_poisson(r, a):
+    # The +0.05 slack is the measured two-sided SEM-seed noise on this
+    # metric, NOT a quality concession: on the IDENTICAL data draw, varying
+    # only the SEM seed, the reference itself scores 1.8689 (seed 99) vs
+    # 1.9782 (seed 7) -- a 0.109-nat spread -- while dgp_tpu scores 1.9056
+    # (seed 99) vs 1.9508 (seed 7); at seed 7 dgp_tpu BEATS the reference
+    # on the same draw.  (Protocol + numbers: tools/seed_spread.py.)
     return [("test_nllik", r["test_nllik"], "<=",
              round(a["test_nllik"] + 0.05, 4))]
 
