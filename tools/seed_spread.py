@@ -1,8 +1,8 @@
 """SEM-seed noise floor of a parity metric, on either side.
 
-Runs the dgp_poisson parity configuration (tools/parity.py) on the IDENTICAL
-data draw (tools/parity_data.py pins the data RNG internally) while varying
-only the SEM seed, for dgp_tpu or for the actual reference (dgpsi under
+Runs a parity configuration (tools/parity.py) on the IDENTICAL data draw
+(tools/parity_data.py pins the data RNG internally) while varying only the
+SEM seed, for dgp_tpu or for the actual reference (dgpsi under
 tools/refshim).  Quantifies how much of a same-draw anchor gap is seed noise
 rather than algorithmic quality.
 
@@ -31,26 +31,19 @@ sys.path.insert(0, _HERE)
 import parity_data as pdata  # noqa: E402
 
 
-def run_ours(seed):
-    sys.path.insert(0, _ROOT)
-    from dgp_tpu import dgp, kernel, combine, emulator, Poisson, nb_seed
-    nb_seed(seed)
-    X, Y, z, test_Yz, f = pdata.poisson_data()
-    all_layer = combine(
-        [kernel(length=np.array([0.5]), name='matern2.5')],
-        [kernel(length=np.array([0.1]), name='matern2.5', scale_est=True,
-                connect=np.arange(1))],
-        [Poisson()])
-    m = dgp(X, [Y], all_layer)
-    m.train(N=500, disable=True)
-    emu = emulator(m.estimate())
-    return float(np.asarray(emu.nllik(z, test_Yz)[0]))
-
-
-def run_ref(seed):
+def _lib(side):
+    if side == "ours":
+        sys.path.insert(0, _ROOT)
+        import dgp_tpu
+        return dgp_tpu
     sys.path.insert(0, os.path.join(_HERE, "refshim"))
     sys.path.insert(0, "/root/reference")
-    import dgpsi as d
+    import dgpsi
+    return dgpsi
+
+
+def dgp_poisson(side, seed):
+    d = _lib(side)
     d.nb_seed(seed)
     np.random.seed(seed)
     X, Y, z, test_Yz, f = pdata.poisson_data()
@@ -62,12 +55,40 @@ def run_ref(seed):
     m = d.dgp(X, [Y], all_layer)
     m.train(N=500, disable=True)
     emu = d.emulator(m.estimate())
-    return float(np.asarray(emu.nllik(z, test_Yz)[0]))
+    return {"test_nllik": float(np.asarray(emu.nllik(z, test_Yz)[0]))}
+
+
+def negbin(side, seed):
+    d = _lib(side)
+    d.nb_seed(seed)
+    np.random.seed(seed)
+    X, Y, Xt, Yt, test_Yt = pdata.negbin_data()
+    all_layer = d.combine(
+        [d.kernel(length=np.array([0.5]), name='matern2.5')],
+        [d.kernel(length=np.array([0.02]), name='matern2.5', scale_est=True,
+                  connect=np.arange(1)),
+         d.kernel(length=np.array([0.02]), name='matern2.5', scale_est=True,
+                  connect=np.arange(1))],
+        [d.NegBin()])
+    m = d.dgp(X, [Y], all_layer)
+    m.train(N=500, disable=True)
+    emu = d.emulator(m.estimate())
+    mu, var = emu.predict(Xt, method='mean_var')
+    rmse_mean = float(np.sqrt(np.mean((np.asarray(mu).flatten()
+                                       - Yt.flatten()) ** 2)))
+    return {"rmse_mean_vs_truth": rmse_mean,
+            "test_nllik": float(np.asarray(emu.nllik(Xt, test_Yt)[0]))}
+
+
+CONFIGS = {"dgp_poisson": dgp_poisson, "negbin": negbin}
 
 
 if __name__ == "__main__":
     side = sys.argv[1]
-    for s in [int(x) for x in sys.argv[2:]] or [99]:
-        nll = (run_ours if side == "ours" else run_ref)(s)
-        print(f"{side} semseed={s} dgp_poisson test_nllik={nll:.4f}",
-              flush=True)
+    cfg = sys.argv[2] if len(sys.argv) > 2 and not sys.argv[2].isdigit() \
+        else "dgp_poisson"
+    seeds = [int(x) for x in sys.argv[2:] if x.isdigit()] or [99]
+    for s in seeds:
+        out = CONFIGS[cfg](side, s)
+        metrics = " ".join(f"{k}={v:.4f}" for k, v in out.items())
+        print(f"{side} semseed={s} {cfg} {metrics}", flush=True)
