@@ -440,7 +440,8 @@ def _grad_kernel(x_ref, y_ref, diag_ref, dnug_ref,
         if j == 0:
             dj = jnp.sqrt(diag[0])
             L[0, 0] = dj
-            L[1:, 0] = K[1:, 0] / dj[None]
+            if m1 > 1:  # Mosaic rejects the empty slice at m1 == 1
+                L[1:, 0] = K[1:, 0] / dj[None]
         else:
             s = diag[j] - jnp.sum(L[j, :j] ** 2, axis=0)
             dj = jnp.sqrt(s)
