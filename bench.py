@@ -113,18 +113,19 @@ def main():
         "platform": jax.default_backend(),
     })
 
-    # Extra legs in decreasing value order, each gated on remaining budget
-    # (gates strictly increase down the list so no leg is dead code; the
-    # SIGTERM handler keeps whatever finished if the driver times out):
+    # Extra legs, cheap and guaranteed first, the long n=1e6 capability leg
+    # last (gates strictly increase down the list so no leg is dead code;
+    # legs stream partial milestones into RESULTS as they complete, so the
+    # SIGTERM handler keeps construction/warmup evidence even if the driver
+    # times out mid-leg):
     #  - n=1e5 Vecchia SI training rate (BASELINE config 5)
-    #  - n=1e6 capability (driver-verified evidence for the README claim)
+    #  - n=1e5 ensemble prediction throughput (reuses the large_n model)
     #  - exact demo/vecchia_SI.ipynb n=5000 vs its published 0.48 it/s
-    #  - n=1e5 ensemble prediction throughput (reuses the large_n model;
-    #    last because it is the least comparable-to-reference number)
-    for gate, fn, tag in ((420, _large_n, "large_n"),
-                          (900, _xlarge_n, "xlarge_n"),
-                          (1300, _n5000, "n5000"),
-                          (1600, _large_n_predict, "large_n_predict")):
+    #  - n=1e6 capability (driver-verified evidence for the README claim)
+    for gate, fn, tag in ((300, _large_n, "large_n"),
+                          (330, _large_n_predict, "large_n_predict"),
+                          (390, _n5000, "n5000"),
+                          (430, _xlarge_n, "xlarge_n")):
         if time.time() - T_START < gate:
             try:
                 RESULTS.update(fn())
@@ -180,7 +181,9 @@ def _large_n():
     layer2 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
                      nugget_est=True, scale_est=True, connect=np.arange(1))]
     _log('constructing n=1e5 model')
+    t0 = time.time()
     m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)  # auto approx-NN
+    RESULTS["large_n_construct_s"] = round(time.time() - t0, 1)
     _log('large-n constructed')
     # warm through iteration 32 so the timed window (iters 33-48) contains
     # no power-of-2 NN refresh (next is at 64): steady-state rate, matching
@@ -188,7 +191,9 @@ def _large_n():
     # schedule.  N=16 with chunk_size=16 maps to exactly ONE compiled chunk
     # dispatch (train() quantises chunks to powers of two, so N=24 would run
     # as 16 + 8x1 dispatches and pay ~8x the fixed ~225 ms dispatch cost).
+    t0 = time.time()
     m.train(N=32, disable=True, chunk_size=16)
+    RESULTS["large_n_warm_s"] = round(time.time() - t0, 1)
     _log('large-n warm')
     t0 = time.time()
     m.train(N=16, disable=True, chunk_size=16)
@@ -238,12 +243,15 @@ def _xlarge_n():
     layer2 = [kernel(length=np.array([0.5]), name='sexp', nugget=1e-4,
                      nugget_est=True, scale_est=True, connect=np.arange(1))]
     _log('constructing n=1e6 model')
+    t0 = time.time()
     m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)
+    RESULTS["xlarge_n_construct_s"] = round(time.time() - t0, 1)
     _log('n=1e6 constructed')
-    # warm through iteration 4 (compile + first refreshes), then time a
-    # refresh-free window (iters 5-8; next power-of-2 refresh is at 8 --
-    # warm to 8 first so the window is clean)
+    # warm through iteration 8 (compile + refreshes at 2/4/8), then time a
+    # refresh-free window (iters 9-12; next power-of-2 refresh is at 16)
+    t0 = time.time()
     m.train(N=8, disable=True, chunk_size=4)
+    RESULTS["xlarge_n_warm_s"] = round(time.time() - t0, 1)
     _log('n=1e6 warm')
     t0 = time.time()
     m.train(N=4, disable=True, chunk_size=4)

@@ -189,61 +189,203 @@ def _ivf_params(n):
     return K, Lmax
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _ivf_query_self_both(q, x, cent, buckets, m, P, q0=0):
-    """Fused self-query: ordered (predecessors-only) AND unconstrained
-    top-(m+1) in one pass.  The candidate gather and distance matrix -- the
-    dominant cost -- are computed once and reused for both maskings.
-    ``q`` is a (contiguous) slice of ``x`` starting at global row ``q0``,
-    so very large refreshes can dispatch bounded query chunks (the same
-    runtime-envelope concern as _QUERY_CHUNK)."""
-    nq, d = q.shape
+#: query-list capacity multiple of the average bucket size.  Queries beyond
+#: a bucket's cap fall through to the per-query fallback pass (capacity
+#: `_fallback_cap`), so -- unlike the candidate cap -- overflow here costs
+#: extra work, never recall.
+_LQ_MULT = 2.5
+
+
+def _lq(n, K):
+    return int(np.ceil(_LQ_MULT * n / K))
+
+
+def _fallback_cap(n):
+    """Static row capacity of the per-query fallback pass (bucket-overflow
+    queries).  Generous vs the measured overflow mass of a Lloyd fit
+    (zero at 2.5x average on uniform/latent data)."""
+    r = max(_BLOCK, n // 64)
+    return ((r + _BLOCK - 1) // _BLOCK) * _BLOCK
+
+
+@partial(jax.jit, static_argnums=(6, 7, 8))
+def _bucketed_self_impl(q, x, Bq, cl, Bc, gidx, m, ordered, impute):
+    """Bucket-batched IVF self-query: one map step per BUCKET, whose members
+    (rows of ``Bq``) share a single candidate set (the inverted lists of the
+    bucket's ``P`` nearest buckets, rows of ``cl``).  The candidate gather is
+    per-bucket instead of per-query -- ~200x less gather traffic than the
+    per-query scheme at n=1e6 -- and the (Lq, C) distance matrix is one dense
+    broadcast/matmul block, which is what the TPU wants.  Returns per-bucket
+    result tensors (scatter back to rows via ``Bq``):
+    (ordered_topk (K, Lq, m+1), unconstrained (K, Lq, m+1) | None)."""
+    Lq = Bq.shape[1]
     big = jnp.asarray(jnp.finfo(x.dtype).max / 8, x.dtype)
-    n_pad = ((nq + _BLOCK - 1) // _BLOCK) * _BLOCK
-    xp = jnp.pad(q, ((0, n_pad - nq), (0, 0)))
+
+    seg = 4096
+
+    def one_bucket(args):
+        qrows, clb = args                     # (Lq,), (P,)
+        qs = jnp.where(qrows >= 0, qrows, 0)
+        Q = q[qs]                             # (Lq, d)
+        cnd = Bc[clb].reshape(-1)             # (C,)
+        C = cnd.shape[0]
+        ok_c = cnd >= 0
+        Xc = x[jnp.where(ok_c, cnd, 0)]       # (C, d)
+        row_ok = qrows >= 0
+        gq = gidx[qs]
+        # self appears both in its bucket copy and as an appended zero-
+        # distance column; knock out the bucket copy
+        dup = cnd[None, :] == gq[:, None]
+        base = ok_c[None, :] & ~dup & row_ok[:, None]
+        masks = []
+        if ordered:
+            masks.append(base & (cnd[None, :] <= gq[:, None]))
+        if impute or not ordered:
+            masks.append(base)
+        # difference-form distances, segmented over the candidate axis: the
+        # expanded |q|^2 + |c|^2 - 2qc form loses the low bits of SMALL
+        # distances to f32 cancellation (neighbour spacings shrink as
+        # 1/n while coordinates stay O(1)), which scrambles the near-
+        # neighbour ranking exactly where it matters
+        parts = [([], []) for _ in masks]
+        for s0 in range(0, C, seg):
+            Xs = jax.lax.dynamic_slice(Xc, (s0, 0), (min(seg, C - s0),
+                                                     Xc.shape[1]))
+            d2s = jnp.sum((Q[:, None, :] - Xs[None, :, :]) ** 2, axis=-1)
+            cs = jax.lax.dynamic_slice(cnd, (s0,), (min(seg, C - s0),))
+            for j, mk in enumerate(masks):
+                mks = jax.lax.dynamic_slice(
+                    mk, (0, s0), (Lq, min(seg, C - s0)))
+                nd, sel = jax.lax.top_k(jnp.where(mks, -d2s, -big),
+                                        min(m + 1, d2s.shape[1]))
+                parts[j][0].append(nd)
+                parts[j][1].append(cs[sel])
+        outs = []
+        for j in range(len(masks)):
+            # fold in the appended zero-distance self column
+            nd = jnp.concatenate(
+                parts[j][0] + [jnp.where(row_ok, 0.0, -big)[:, None]
+                               .astype(x.dtype)], axis=1)
+            ci = jnp.concatenate(parts[j][1] + [gq[:, None]], axis=1)
+            nd2, sel2 = jax.lax.top_k(nd, m + 1)
+            idx = jnp.take_along_axis(ci, sel2, axis=1)
+            outs.append(jnp.where(-nd2 < big / 2, idx, -1))
+        return tuple(outs)
+
+    res = jax.lax.map(one_bucket, (Bq, cl))
+    if ordered and impute:
+        return res[0], res[1]
+    return res[0], None
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7))
+def _ivf_query_rows(qsel, q, x, cent, Bc, m, P, impute):
+    """Per-query ordered IVF search over an explicit (static-size) row list
+    ``qsel`` (-1 padded) -- the fallback pass for queries that overflow
+    their bucket's capacity in the bucketed self-query.  Row indices double
+    as the global Vecchia positions for the predecessors-only masking."""
+    R = qsel.shape[0]
+    big = jnp.asarray(jnp.finfo(x.dtype).max / 8, x.dtype)
 
     def one_block(b):
-        Q = jax.lax.dynamic_slice(xp, (b * _BLOCK, 0), (_BLOCK, d))
-        q_idx = q0 + b * _BLOCK + jnp.arange(_BLOCK)
+        rows = jax.lax.dynamic_slice(qsel, (b * _BLOCK,), (_BLOCK,))
+        row_ok = rows >= 0
+        safe_r = jnp.where(row_ok, rows, 0)
+        Q = q[safe_r]
+        gq = safe_r
         d2c = _sq_dists_block(Q, cent)
         _, cl = jax.lax.top_k(-d2c, P)
         cand = jnp.concatenate(
-            [buckets[cl].reshape(_BLOCK, -1), q_idx[:, None]], axis=1)
-        ok = cand >= 0
+            [Bc[cl].reshape(_BLOCK, -1), gq[:, None]], axis=1)
+        ok = (cand >= 0) & row_ok[:, None]
         safe = jnp.where(ok, cand, 0)
-        # self appears both in its bucket copy and as the appended column;
-        # knock out the bucket copy so neither masking double-counts it
-        dup = cand == q_idx[:, None]
+        dup = cand == gq[:, None]
         dup = dup.at[:, -1].set(False)
         base_ok = ok & ~dup
+        masks = [base_ok & (cand <= gq[:, None])]
+        if impute:
+            masks.append(base_ok)
+        res = _topk_candidates_multi(Q, x, safe, masks, m + 1, big)
+        outs = [jnp.where(-nd < big / 2, idx, -1) for nd, idx in res]
+        return tuple(outs) if impute else (outs[0],)
 
-        res = _topk_candidates_multi(
-            Q, x, safe, [base_ok & (cand <= q_idx[:, None]), base_ok],
-            m + 1, big)
-        ordered, unconstrained = [
-            jnp.where(-nd < big / 2, idx, -1) for nd, idx in res]
-        return ordered, unconstrained
-
-    o, u = jax.lax.map(one_block, jnp.arange(n_pad // _BLOCK))
-    return (o.reshape(n_pad, m + 1)[:nq], u.reshape(n_pad, m + 1)[:nq])
+    res = jax.lax.map(one_block, jnp.arange(R // _BLOCK))
+    o = res[0].reshape(R, m + 1)
+    u = res[1].reshape(R, m + 1) if impute else None
+    return o, u
 
 
-def nn_approx_dev(x, m, impute=False):
-    """Jit-traceable ordered approximate NN: device IVF build + query for
-    points already in Vecchia order.  Returns the reference NN layout
-    (descending index order, -1 padded), plus -- when ``impute`` -- the
-    unconstrained m-NN per point used for imputation pointers.  Same
-    structure as the host `_nn_approx`/`_pred_nn_approx` pair but with no
-    host transfers, so it can run inside the device NN-refresh program."""
+@jax.jit
+def _scatter_rows(out, qflat, rows):
+    """out[(n+1, w)] <- rows at positions qflat (-1 -> parked row n)."""
+    qsafe = jnp.where(qflat >= 0, qflat, out.shape[0] - 1)
+    return out.at[qsafe].set(rows)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _covered_mask(Bq, n):
+    flat = Bq.reshape(-1)
+    cov = jnp.zeros((n + 1,), bool).at[
+        jnp.where(flat >= 0, flat, n)].set(True)
+    return cov[:n]
+
+
+def _self_query_parts(x, m, impute, P=16, cache=None):
+    """Shared setup for the bucketed self-query: k-means (warm-started from
+    ``cache``), inverted lists, centroid top-P lists.  Returns everything
+    the bucketed + fallback passes need."""
     n = x.shape[0]
-    K, Lmax = _ivf_params(n)
-    cent, assign = _kmeans_fit(x, K, 6)
-    buckets = _buckets_dev(assign, K, Lmax)
-    if not impute:
-        out = _ivf_query(x, x, cent, buckets, int(m) + 1, 16, True)
-        return jnp.flip(jnp.sort(out, axis=1), axis=1), None
-    out, imp = _ivf_query_self_both(x, x, cent, buckets, int(m), 16)
+    K, Lc = _ivf_params(n)
+    cent0 = None if cache is None else cache.get('cent')
+    if cent0 is not None and cent0.shape == (K, x.shape[1]):
+        cent, assign = _kmeans_fit(x, K, 2, jnp.asarray(cent0))
+    else:
+        cent, assign = _kmeans_fit(x, K, 6)
+    if cache is not None:
+        cache['cent'] = np.asarray(cent)  # np: keeps model pickling clean
+    Bq = _buckets_dev(assign, K, _lq(n, K))
+    Bc = Bq[:, :Lc]
+    cl = jax.lax.top_k(-_sq_dists_block(cent, cent), P)[1]
+    return cent, Bq, Bc, cl
+
+
+@jax.jit
+def _repair_stranded(out):
+    """A row the fallback capacity could not cover ends up all -1; park its
+    own index in column 0 so downstream conditioning never sees an empty
+    set (pathological-clustering insurance, not an expected path)."""
+    allneg = (out < 0).all(axis=1)
+    self_idx = jnp.arange(out.shape[0], dtype=out.dtype)
+    return out.at[:, 0].set(jnp.where(allneg, self_idx, out[:, 0]))
+
+
+def _finish_self_query(x, m, impute, cent, Bq, Bc, o_b, u_b):
+    """Scatter per-bucket results to rows, run the overflow fallback pass,
+    and apply the reference layouts."""
+    n = x.shape[0]
+    qflat = Bq.reshape(-1)
+    out = _scatter_rows(jnp.full((n + 1, m + 1), -1, jnp.int32), qflat,
+                        o_b.reshape(-1, m + 1))[:n]
+    imp = None
+    if impute:
+        imp = _scatter_rows(jnp.full((n + 1, m + 1), -1, jnp.int32), qflat,
+                            u_b.reshape(-1, m + 1))[:n]
+    cov = _covered_mask(Bq, n)
+    # overflow fallback: per-query search over the uncovered rows
+    R = _fallback_cap(n)
+    qsel = jnp.nonzero(~cov, size=R, fill_value=-1)[0].astype(jnp.int32)
+    fo, fu = _ivf_query_rows(qsel, x, x, cent, Bc, m, 16, impute)
+    out = _scatter_rows(
+        jnp.concatenate([out, jnp.full((1, m + 1), -1, jnp.int32)]),
+        qsel, fo)[:n]
+    if impute:
+        imp = _scatter_rows(
+            jnp.concatenate([imp, jnp.full((1, m + 1), -1, jnp.int32)]),
+            qsel, fu)[:n]
+    out = _repair_stranded(out)
     ordered = jnp.flip(jnp.sort(out, axis=1), axis=1)
+    if not impute:
+        return ordered, None
     # imp is the unconstrained top-(m+1) in ascending distance; column 0 is
     # self.  Slice to (n, m-1) to match the host path (get_pred_nn(.., m)[:,1:])
     # and the exact device path (_pred_nn_impl(.., m)[:, 1:]) -- a different
@@ -252,33 +394,46 @@ def nn_approx_dev(x, m, impute=False):
     return ordered, jnp.where(imp >= 0, imp, 0)[:, 1:int(m)]
 
 
-def nn_approx_dev_chunked(x, m, impute=False, chunk=None):
-    """Device IVF build + self-query dispatched in bounded query chunks:
-    the arrays never leave the device (x may be a sharded latent view), but
-    no single program exceeds the runtime envelope that one monolithic
-    query over a >200k-point gather source can breach (see _QUERY_CHUNK).
-    Drop-in for nn_approx_dev at any n; used by the engine's NN refresh
-    above models/compiled.DEVICE_REFRESH_MAX_FUSED_N points."""
-    n = x.shape[0]
-    chunk = chunk or _QUERY_CHUNK
-    K, Lmax = _ivf_params(n)
-    cent, assign = _kmeans_fit(x, K, 6)
-    buckets = _buckets_dev(assign, K, Lmax)
-    outs, imps = [], []
-    for s in range(0, n, chunk):
-        qc = x[s:s + chunk]
+def nn_approx_dev(x, m, impute=False, cache=None):
+    """Jit-traceable ordered approximate NN: device IVF build + bucketed
+    self-query for points already in Vecchia order.  Returns the reference
+    NN layout (descending index order, -1 padded), plus -- when ``impute``
+    -- the unconstrained m-NN per point used for imputation pointers.  No
+    host transfers, so it can run inside the device NN-refresh program."""
+    m = int(m)
+    cent, Bq, Bc, cl = _self_query_parts(x, m, impute, cache=cache)
+    gidx = jnp.arange(x.shape[0], dtype=jnp.int32)
+    o_b, u_b = _bucketed_self_impl(x, x, Bq, cl, Bc, gidx, m, True, impute)
+    return _finish_self_query(x, m, impute, cent, Bq, Bc, o_b, u_b)
+
+
+#: buckets per dispatch of the chunked bucketed self-query; bounds single-
+#: program runtime/memory at very large n (K=2*sqrt(n) buckets total).
+_BUCKET_CHUNK = 512
+
+
+def nn_approx_dev_chunked(x, m, impute=False, chunk=None, cache=None):
+    """nn_approx_dev with the per-bucket map dispatched in bounded chunks of
+    buckets: the arrays never leave the device (x may be a sharded latent
+    view), but no single program exceeds the runtime envelope that one
+    monolithic query at n=1e6 can breach.  Buckets are processed
+    independently, so the results are bit-identical to the fused build.
+    Used by the engine's NN refresh above
+    models/compiled.DEVICE_REFRESH_MAX_FUSED_N points."""
+    m = int(m)
+    cent, Bq, Bc, cl = _self_query_parts(x, m, impute, cache=cache)
+    gidx = jnp.arange(x.shape[0], dtype=jnp.int32)
+    kb = chunk or _BUCKET_CHUNK
+    os_, us_ = [], []
+    for k0 in range(0, Bq.shape[0], kb):
+        o, u = _bucketed_self_impl(x, x, Bq[k0:k0 + kb], cl[k0:k0 + kb],
+                                   Bc, gidx, m, True, impute)
+        os_.append(o)
         if impute:
-            o, im = _ivf_query_self_both(qc, x, cent, buckets, int(m), 16, s)
-            imps.append(im)
-        else:
-            o = _ivf_query(qc, x, cent, buckets, int(m) + 1, 16, True, s)
-        outs.append(o)
-    ordered = jnp.concatenate(outs, axis=0)
-    ordered = jnp.flip(jnp.sort(ordered, axis=1), axis=1)
-    if not impute:
-        return ordered, None
-    imp = jnp.concatenate(imps, axis=0)
-    return ordered, jnp.where(imp >= 0, imp, 0)[:, 1:int(m)]
+            us_.append(u)
+    o_b = jnp.concatenate(os_, axis=0)
+    u_b = jnp.concatenate(us_, axis=0) if impute else None
+    return _finish_self_query(x, m, impute, cent, Bq, Bc, o_b, u_b)
 
 
 
@@ -385,12 +540,8 @@ def _query_chunks(q0, q, x, cent, buckets, m, P, ordered):
 
 
 def _nn_approx(x, m, ordered=True, P=16, cache=None):
-    n = x.shape[0]
-    cent, buckets = _ivf_build(x, n, cache)
-    out = _query_chunks(0, jnp.asarray(x), jnp.asarray(x), cent, buckets,
-                        m + 1, P, True)
-    # descending index order with -1s at the tail (reference layout)
-    return np.flip(np.sort(out, axis=1), axis=1)
+    out, _ = nn_approx_dev_chunked(jnp.asarray(x), m, cache=cache)
+    return np.asarray(out)
 
 
 def _pred_nn_approx(query, x, m, P=16):

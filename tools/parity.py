@@ -174,6 +174,31 @@ def negbin():
             "test_nllik": round(nll, 4)}
 
 
+def zip_demo():
+    """Synthetic ZIP parity config (tools/parity_data.zip_data): 2-layer
+    DGP with rate + inflation nodes feeding the ZIP likelihood
+    (reference dgp.py:337-380 initialiser, likelihood_class.py:470)."""
+    from dgp_tpu import dgp, kernel, combine, emulator, ZIP, nb_seed
+    nb_seed(99)
+    X, Y, Xt, Yt_mean, test_Yt = pdata.zip_data()
+    all_layer = combine(
+        [kernel(length=np.array([0.5]), name='matern2.5')],
+        [kernel(length=np.array([0.2]), name='matern2.5', scale_est=True,
+                connect=np.arange(1)),
+         kernel(length=np.array([0.2]), name='matern2.5', scale_est=True,
+                connect=np.arange(1))],
+        [ZIP()])
+    m = dgp(X, [Y], all_layer)
+    m.train(N=500, disable=True)
+    emu = emulator(m.estimate())
+    mu, var = emu.predict(Xt, method='mean_var')
+    rmse_mean = float(np.sqrt(np.mean((np.asarray(mu).flatten()
+                                       - Yt_mean.flatten()) ** 2)))
+    nll = float(np.asarray(emu.nllik(Xt, test_Yt)[0]))
+    return {"rmse_mean_vs_truth": round(rmse_mean, 4),
+            "test_nllik": round(nll, 4)}
+
+
 def wine():
     """DGP_classification.ipynb: 3-layer DGP (13 GP / 3 GP / Categorical),
     wine 80/20 split, seed 99, vs sklearn GPC.
@@ -305,8 +330,8 @@ def multioutput():
 
 CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "poisson": poisson, "dgp_poisson": dgp_poisson, "negbin": negbin,
-           "wine": wine, "wine_reduced": wine_reduced, "linked": linked,
-           "vecchia": vecchia, "multioutput": multioutput}
+           "zip": zip_demo, "wine": wine, "wine_reduced": wine_reduced,
+           "linked": linked, "vecchia": vecchia, "multioutput": multioutput}
 
 
 # ----------------------------------------------------------------------
@@ -371,6 +396,15 @@ def _gate_negbin(r, a):
             ("rmse_mean_vs_truth", r["rmse_mean_vs_truth"], "<=", 3.5)]
 
 
+def _gate_zip(r, a):
+    # same-draw anchor; slack classes as the other count rows (nllik
+    # additive for SEM-seed noise, rmse multiplicative like linked)
+    return [("test_nllik", r["test_nllik"], "<=",
+             round(a["test_nllik"] + 0.05, 4)),
+            ("rmse_mean_vs_truth", r["rmse_mean_vs_truth"], "<=",
+             round(1.25 * a["rmse_mean_vs_truth"], 4))]
+
+
 def _gate_wine(r, a):
     return [("dgp_accuracy", r["dgp_accuracy"], ">=",
              round(r["reference_dgp_accuracy"] - 1.0 / 36 - 1e-9, 4)),
@@ -408,7 +442,7 @@ def _gate_wine_reduced(r, a):
 
 GATES = {"step": _gate_step, "2d": _gate_2d, "motorcycle": _gate_motorcycle,
          "poisson": _gate_poisson, "dgp_poisson": _gate_dgp_poisson,
-         "negbin": _gate_negbin, "wine": _gate_wine,
+         "negbin": _gate_negbin, "zip": _gate_zip, "wine": _gate_wine,
          "wine_reduced": _gate_wine_reduced, "linked": _gate_linked,
          "vecchia": _gate_vecchia, "multioutput": _gate_multioutput}
 

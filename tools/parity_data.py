@@ -114,6 +114,29 @@ def wine_data():
     return train_test_split(Xw, yw, test_size=0.2, random_state=99)
 
 
+def zip_data():
+    """Synthetic ZIP draw (no reference notebook publishes a ZIP demo; the
+    generator mirrors the negbin one: smooth log-rate + smooth inflation
+    logit, 40 sites x 4 reps, seed 99, scored on a fresh 200-point draw)."""
+    rs = np.random.RandomState(99)
+    n = 40
+    X = np.linspace(0, 1, n)[:, None]
+    for _ in range(3):
+        X = np.concatenate((X, np.linspace(0, 1, n)[:, None]), axis=0)
+    f_lam = lambda x: np.exp(1.2 * np.sin(2 * np.pi * x) + 1.0)
+    f_pi = lambda x: 1.0 / (1.0 + np.exp(-(2.5 * x - 1.0)))
+    lam = f_lam(X[:, 0])
+    pi = f_pi(X[:, 0])
+    Y = np.where(rs.rand(len(X)) < pi, 0,
+                 rs.poisson(lam)).reshape(-1, 1).astype(float)
+    Xt = np.linspace(0, 1, 200)[:, None]
+    lam_t, pi_t = f_lam(Xt[:, 0]), f_pi(Xt[:, 0])
+    Yt_mean = ((1 - pi_t) * lam_t).reshape(-1, 1)
+    test_Yt = np.where(rs.rand(len(Xt)) < pi_t, 0,
+                       rs.poisson(lam_t)).reshape(-1, 1).astype(float)
+    return X, Y, Xt, Yt_mean, test_Yt
+
+
 def vecchia_data():
     """vecchia_SI.ipynb cells 2-4: n=5000 composed function + noise."""
     rng = np.random.RandomState(123)

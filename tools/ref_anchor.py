@@ -156,6 +156,31 @@ def negbin():
             "test_nllik": round(nll, 4)}
 
 
+def zip_anchor():
+    """tools/parity_data.zip_data run by the reference itself (same-draw
+    anchor for the synthetic ZIP parity row; reference dgp.py:337-380 +
+    likelihood_class.py:470)."""
+    d = _load_reference()
+    d.nb_seed(99); np.random.seed(99)
+    X, Y, Xt, Yt_mean, test_Yt = pdata.zip_data()
+    all_layer = d.combine(
+        [d.kernel(length=np.array([0.5]), name='matern2.5')],
+        [d.kernel(length=np.array([0.2]), name='matern2.5', scale_est=True,
+                  connect=np.arange(1)),
+         d.kernel(length=np.array([0.2]), name='matern2.5', scale_est=True,
+                  connect=np.arange(1))],
+        [d.ZIP()])
+    m = d.dgp(X, [Y], all_layer)
+    m.train(N=500, disable=True)
+    emu = d.emulator(m.estimate())
+    mu, var = emu.predict(Xt, method='mean_var')
+    rmse_mean = float(np.sqrt(np.mean((np.asarray(mu).flatten()
+                                       - Yt_mean.flatten()) ** 2)))
+    nll = float(np.asarray(emu.nllik(Xt, test_Yt)[0]))
+    return {"rmse_mean_vs_truth": round(rmse_mean, 4),
+            "test_nllik": round(nll, 4)}
+
+
 def wine():
     """DGP_classification.ipynb cells 2-10 run by the reference on the
     identical 80/20 split (notebook protocol: train N=200, emulator N=50).
@@ -254,10 +279,11 @@ def multioutput():
 
 CONFIGS = {"step": step, "2d": twod, "motorcycle": motorcycle,
            "poisson": poisson, "dgp_poisson": dgp_poisson,
-           "negbin": negbin, "linked": linked, "wine": wine,
-           "wine_reduced": wine_reduced, "multioutput": multioutput}
+           "negbin": negbin, "zip": zip_anchor, "linked": linked,
+           "wine": wine, "wine_reduced": wine_reduced,
+           "multioutput": multioutput}
 TIMEOUTS = {"motorcycle": 14400, "negbin": 14400, "wine": 21600,
-            "wine_reduced": 18000}
+            "wine_reduced": 18000, "zip": 10800}
 
 
 def _run_one(name):
