@@ -25,6 +25,7 @@ def set_default_dtype(dtype):
 
 
 def default_dtype():
+    """The framework-wide working dtype (see :func:`set_default_dtype`)."""
     return _DEFAULT_DTYPE
 
 

@@ -77,6 +77,8 @@ def get_thread():
 
 
 def set_thread(value):
+    """Thread-count parity shim (reference utils.set_thread): recorded for
+    API compatibility; XLA owns device parallelism."""
     global _thread_count
     _thread_count = int(value)
 

@@ -4,12 +4,12 @@ Two layers of gating:
 
 1. Live reference-anchored gates (slow): the cheap demo configs run at
    FULL budget through the exact tools/parity.py code path and must pass
-   the same gates recorded in PARITY_r04.json -- thresholds anchored to
+   the same gates recorded in PARITY_r05.json -- thresholds anchored to
    dgpsi run on the identical draw (REF_ANCHORS.json).
 2. Reduced-budget smoke gates (slow): the two expensive configs
    (motorcycle Hetero, wine classification) at shortened budgets with
    correspondingly looser thresholds.
-3. Artifact gate (fast): every recorded PARITY_r04.json row must carry a
+3. Artifact gate (fast): every recorded PARITY_r05.json row must carry a
    reference anchor (where one exists) and a passing gate, so a regression
    in the recorded parity matrix fails the suite even when the slow live
    runs are deselected.
@@ -68,7 +68,7 @@ def test_parity_config_live(name):
 
 def test_parity_artifact_gated():
     """Every recorded parity row has a passing reference-anchored gate."""
-    path = os.path.join(_ROOT, "PARITY_r04.json")
+    path = os.path.join(_ROOT, "PARITY_r05.json")
     if not os.path.exists(path):
         pytest.skip("no recorded parity matrix")
     with open(path) as fh:

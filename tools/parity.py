@@ -2,7 +2,7 @@
 
 Reproduces each reference demo-notebook configuration (the reference's only
 acceptance tests -- SURVEY section 4) and records RMSE/NLL/log-loss numbers
-into PARITY_r04.json at the repo root.  Every row carries a reference
+into PARITY_r05.json at the repo root.  Every row carries a reference
 anchor: either the notebook's published number (wine, poisson/dgp_poisson
 own-draw NLLs) or -- for configs where the notebooks publish nothing -- the
 result of ACTUALLY RUNNING the reference library on the identical draw
@@ -41,7 +41,7 @@ sys.path.insert(0, _HERE)
 import parity_data as pdata  # noqa: E402
 
 T0 = time.time()
-OUT = os.path.join(_ROOT, "PARITY_r04.json")
+OUT = os.path.join(_ROOT, "PARITY_r05.json")
 ANCHORS = os.path.join(_ROOT, "REF_ANCHORS.json")
 
 

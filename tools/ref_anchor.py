@@ -3,7 +3,7 @@ under tools/refshim since numba/pathos aren't installed) on the parity
 configs, scoring on the identical data draws from tools/parity_data.py.
 
 Writes REF_ANCHORS.json at the repo root: per-config reference quality
-numbers that tools/parity.py merges into PARITY_r04.json rows and
+numbers that tools/parity.py merges into PARITY_r05.json rows and
 tests/test_parity_quality.py gates against.  The one config the pure-Python
 reference cannot finish in reasonable time (vecchia: n=5000) keeps its
 published-notebook anchor instead; wine is slow (~1-2 h: 16 nodes x
