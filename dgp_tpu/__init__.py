@@ -14,6 +14,9 @@ Public API parity with `dgpsi/__init__.py`:
 """
 from . import config  # noqa: F401  (enables x64)
 from .config import set_default_dtype, default_dtype  # noqa: F401
+from . import hostio as _hostio
+
+_hostio.install_blocking_fetch()  # see hostio.py: d2h-on-pending pathology
 
 from .models.node import kernel, combine  # noqa: F401
 from .models.gp import gp  # noqa: F401

@@ -134,6 +134,12 @@ class CompiledDGP:
         self.y_final, self.w_diag, self.sum_res, self.y_lik = y_final, w_diag, sum_res, y_lik
         self.rep = rep
         self.n_orig = float(len(rep)) if rep is not None else float(n)
+        # These arrays are CLOSED OVER by the jitted programs; jit lowering
+        # fetches captured constants back to host (mlir ir_constant), and a
+        # d2h on an array whose h2d transfer is still in flight takes
+        # minutes over the axon tunnel (vecchia/nn.py::_host).  Make every
+        # captured constant ready before any tracing can touch it.
+        jax.block_until_ready((self.X, y_final, w_diag, sum_res, y_lik, rep))
 
     def get_state(self):
         dt = np.dtype(self.dtype)
@@ -342,7 +348,10 @@ class CompiledDGP:
 
     def set_state(self, state):
         # single pipelined transfer of the whole state tree (per-array
-        # np.asarray would pay one tunnel round-trip each)
+        # np.asarray would pay one tunnel round-trip each).  Block first:
+        # a d2h requested while the producer still runs can take minutes
+        # over the axon tunnel (vecchia/nn.py::_host).
+        jax.block_until_ready(state)
         latents, params = jax.device_get(state)
         latents = [np.asarray(a) for a in latents]
         for l, (layer, specs) in enumerate(zip(self.all_layer, self.spec)):

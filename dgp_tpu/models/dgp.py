@@ -539,6 +539,12 @@ class dgp:
                     # stays finite via mstep's ok-fallback) is caught here too.
                     if len(snapshots[0]) % 8 == 0 and len(snapshots[0]) >= 2:
                         import jax as _jax
+                        # wait for readiness before the fetch: a d2h
+                        # requested mid-execution can take minutes over the
+                        # axon tunnel (vecchia/nn.py::_host).  The -2 chunk
+                        # usually IS ready, so this wait is ~free and the
+                        # transfer still overlaps the -1/current chunks.
+                        _jax.block_until_ready(snapshots[0][-2])
                         probe = _jax.device_get((snapshots[0][-2],
                                                  snapshots[1][-2]))
                         if not all(np.all(np.isfinite(p))
@@ -590,6 +596,7 @@ class dgp:
                 # remote chip, 3x per train() call in the bench's timed
                 # window); set_state's device_get is a passthrough on the
                 # already-host tree.
+                _jax.block_until_ready(state)
                 snapshots, state = _jax.device_get((snapshots, state))
                 if _dbg:
                     import sys as _sys

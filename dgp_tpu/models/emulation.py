@@ -360,6 +360,8 @@ class emulator:
             Dist = np.sum((x_cand[:, None, :] - X[None, :, :]) ** 2, axis=-1)
             index = np.argmin(Dist, axis=1)
             bias, sigma2 = self._predict_vigf(x_cand, index, islik, m)
+            from .. import hostio
+            bias, sigma2 = hostio.fetch((bias, sigma2))
             bias, sigma2 = np.asarray(bias), np.asarray(sigma2)
             E1 = np.mean(np.square(bias) + 6 * bias * sigma2 + 3 * np.square(sigma2), axis=0)
             E2 = np.mean(bias + sigma2, axis=0)
@@ -453,6 +455,7 @@ def _ghdiag(fct, mu, var, y, n_points=10):
     log_wn = np.sum(np.log(np.stack([g.ravel() for g in w_grid], axis=-1)),
                     axis=1)                                      # (K,)
     f = mu[:, None, :] + np.sqrt(2.0 * var[:, None, :]) * tn[None]  # (M, K, N)
-    ll = np.asarray(fct(y[:, None], f))
+    from .. import hostio
+    ll = hostio.fetch_np(fct(y[:, None], f))
     ll = ll.reshape(ll.shape[0], ll.shape[1])
     return np.exp(logsumexp(ll + log_wn[None, :], axis=1) - 0.5 * N * np.log(np.pi))

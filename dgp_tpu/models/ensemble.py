@@ -128,6 +128,13 @@ class CompiledEnsemble:
         self._dense_link_bytes_per_query = per_q
         self._itemsize = itemsize
         self._build_ivf()
+        # all of the above device trees are captured as jit constants by
+        # the chunk programs; lowering fetches constants to host, and a d2h
+        # on a still-pending array takes minutes over the axon tunnel
+        # (vecchia/nn.py::_host) -- make everything ready up front
+        jax.block_until_ready((self._X_global, self.y_stack, self.F,
+                               [[nd.get('ivf') for nd in lay]
+                                for lay in self.spec]))
 
     def _build_ivf(self):
         """Device IVF indices for approximate-NN nodes (auto-IVF engages at
@@ -370,8 +377,8 @@ class CompiledEnsemble:
             if not bad_idx:
                 break
             for i in bad_idx:
-                o2 = jax.device_get(
-                    prog(xcs[i], jnp.asarray(extra, self.dtype)))
+                o2 = jax.device_get(jax.block_until_ready(
+                    prog(xcs[i], jnp.asarray(extra, self.dtype))))
                 outs[i] = jax.tree.map(
                     lambda a, b: np.where(np.isfinite(a), a, b), outs[i], o2)
 

@@ -190,6 +190,8 @@ class gp:
         self.kernel.pred_m = m
         mu, sigma2 = self.kernel.gp_prediction(x=x[:, self.kernel.input_dim],
                                                z=z_in, sharded=sharded)
+        from .. import hostio
+        (mu, sigma2) = hostio.fetch((mu, sigma2))
         mu, sigma2 = np.asarray(mu), np.asarray(sigma2)
         if method == 'mean_var':
             return mu.reshape(-1, 1), sigma2.reshape(-1, 1)

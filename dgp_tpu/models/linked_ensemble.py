@@ -131,6 +131,11 @@ class CompiledLGP:
                         else np.atleast_1d(cont.structure[0][0].connect))
                 lay.append(c)
             self.spec.append(lay)
+        # spec trees are captured as jit constants by the chunk programs;
+        # make every device array ready before tracing can fetch it
+        # (d2h on a pending array takes minutes over the axon tunnel --
+        # vecchia/nn.py::_host)
+        jax.block_until_ready(self.spec)
         self._progs = {}
         # memory bound: dense linked nodes build per-query (n, n) J-moment
         # tensors (same accounting as models/ensemble.py)
@@ -416,7 +421,7 @@ class CompiledLGP:
             ec = {kk: prep(v) for kk, v in exts.items()}
             args.append((xc, ec))
             outs.append(prog(xc, ec, extra0))
-        outs = jax.device_get(outs)
+        outs = jax.device_get(jax.block_until_ready(outs))
 
         # host-level jitter escalation, same policy as ensemble.propagate
         def _ok(t):
@@ -427,8 +432,8 @@ class CompiledLGP:
             if not bad:
                 break
             for i in bad:
-                o2 = jax.device_get(
-                    prog(args[i][0], args[i][1], jnp.asarray(extra, dt)))
+                o2 = jax.device_get(jax.block_until_ready(
+                    prog(args[i][0], args[i][1], jnp.asarray(extra, dt))))
                 outs[i] = jax.tree.map(
                     lambda a, b: np.where(np.isfinite(a), a, b), outs[i], o2)
 

@@ -266,6 +266,7 @@ class kernel:
                           jnp.asarray(self._n_orig()), cl, pc,
                           jnp.asarray(float(self.scale[0])),
                           jnp.asarray(float(self.nugget[0])))
+        jax.block_until_ready(nll)
         if self.scale_est:
             self.scale = np.atleast_1d(np.asarray(scale))
         return np.atleast_1d(np.asarray(nll)), np.asarray(g)
@@ -344,6 +345,7 @@ class kernel:
         f = _make_compute_stats(self.name, self._has_rep())
         Rinv, Rinv_y = f(X, y, jnp.asarray(self.length),
                          jnp.asarray(float(self.nugget[0])), w_diag)
+        jax.block_until_ready(Rinv)  # no d2h on pending (vecchia/nn._host)
         self.Rinv, self.Rinv_y = np.asarray(Rinv), np.asarray(Rinv_y)
 
     # ------------------------------------------------------------------

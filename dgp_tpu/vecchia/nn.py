@@ -24,6 +24,15 @@ import jax.numpy as jnp
 _BLOCK = 256
 
 
+def _host(a):
+    """Device->host fetch that waits for readiness FIRST.  Over the axon
+    tunnel a transfer requested while the producer is still executing can
+    take minutes (measured 212 s vs 0.2 s on the same k-means fit); every
+    host read of a freshly dispatched result must block first."""
+    jax.block_until_ready(a)
+    return np.asarray(a)
+
+
 def _sq_dists_block(Q, X):
     qq = jnp.sum(Q * Q, axis=1)[:, None]
     xx = jnp.sum(X * X, axis=1)[None, :]
@@ -74,7 +83,7 @@ def nn(x, m, method='exact', size=40, efSearch=100, n_jobs=-1, cache=None):
         out = native.nn_ordered(x, int(m))
         if out is not None:
             return out
-    return np.asarray(_nn_ordered_impl(jnp.asarray(x), int(m)))
+    return _host(_nn_ordered_impl(jnp.asarray(x), int(m)))
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -107,7 +116,7 @@ def get_pred_nn(query, x, m=50, method='exact', size=40, efSearch=100, n_jobs=-1
         out = native.pred_nn(query, x, m)
         if out is not None:
             return out
-    return np.asarray(_pred_nn_impl(jnp.asarray(query), jnp.asarray(x), m))
+    return _host(_pred_nn_impl(jnp.asarray(query), jnp.asarray(x), m))
 
 
 # ----------------------------------------------------------------------
@@ -342,6 +351,12 @@ def _self_query_parts(x, m, impute, P=16, cache=None):
     else:
         cent, assign = _kmeans_fit(x, K, 6)
     if cache is not None:
+        # block before the host read: a device->host transfer REQUESTED
+        # while its producer is still executing takes ~200 s over the axon
+        # tunnel (measured: 212 s vs 0.2 s for block-then-read on the same
+        # k-means fit) -- this one line was the bulk of the n=1e6 model
+        # construction wall time
+        jax.block_until_ready(cent)
         cache['cent'] = np.asarray(cent)  # np: keeps model pickling clean
     Bq = _buckets_dev(assign, K, _lq(n, K))
     Bc = Bq[:, :Lc]
@@ -515,7 +530,7 @@ def _ivf_build(x, n, cache=None):
         cent, assign = _kmeans_fit(jnp.asarray(x), K, 6)
     if cache is not None:
         cache['cent'] = np.asarray(cent)  # np: keeps model pickling clean
-    buckets = _buckets_np(np.asarray(assign), K, Lmax)
+    buckets = _buckets_np(_host(assign), K, Lmax)
     return cent, jnp.asarray(buckets)
 
 
@@ -534,13 +549,14 @@ def _query_chunks(q0, q, x, cent, buckets, m, P, ordered):
     outs = []
     for s0 in range(0, q.shape[0], _QUERY_CHUNK):
         qc = q[s0:s0 + _QUERY_CHUNK]
-        outs.append(np.asarray(_ivf_query(
+        outs.append(_host(_ivf_query(
             qc, x, cent, buckets, m, P, ordered, q0 + s0)))
     return np.concatenate(outs, axis=0)
 
 
 def _nn_approx(x, m, ordered=True, P=16, cache=None):
     out, _ = nn_approx_dev_chunked(jnp.asarray(x), m, cache=cache)
+    jax.block_until_ready(out)  # see _self_query_parts: no d2h on pending
     return np.asarray(out)
 
 

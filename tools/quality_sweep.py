@@ -33,6 +33,27 @@ def _setup():
     dgp_tpu.set_default_dtype("float64")
 
 
+def wine(burnin=None, emu_n=50, train_n=500):
+    """Full-protocol wine row (tools/parity.py::wine DGP side only; the
+    sklearn GPC baseline is protocol-invariant and skipped here)."""
+    from sklearn.metrics import log_loss, accuracy_score
+    from dgp_tpu import dgp, kernel, combine, emulator, Categorical, nb_seed
+    np.random.seed(99)
+    nb_seed(99)
+    Xtr, Xte, ytr, yte = pdata.wine_data()
+    layer1 = [kernel(length=np.array([1]), name='matern2.5', nugget=1e-6)
+              for _ in range(Xtr.shape[1])]
+    layer2 = [kernel(length=np.array([1]), name='matern2.5', scale_est=True,
+                     nugget=1e-4, nugget_est=True) for _ in range(3)]
+    m = dgp(Xtr, ytr.reshape(-1, 1), combine(layer1, layer2, [Categorical()]))
+    m.train(N=train_n, disable=True)
+    emu = emulator(m.estimate(burnin=burnin), N=emu_n)
+    prob = emu.predict(Xte)[0]
+    return {"dgp_log_loss": round(float(log_loss(yte, prob)), 4),
+            "dgp_accuracy": round(float(accuracy_score(
+                yte, np.argmax(prob, axis=1))), 4)}
+
+
 def dgp_poisson(burnin=None, emu_n=10, train_n=500):
     from dgp_tpu import dgp, kernel, combine, emulator, Poisson, nb_seed
     nb_seed(99)
@@ -88,7 +109,7 @@ VARIANTS = {
 def main():
     config = sys.argv[1]
     names = sys.argv[2:] or list(VARIANTS)
-    fn = {"dgp_poisson": dgp_poisson, "negbin": negbin}[config]
+    fn = {"dgp_poisson": dgp_poisson, "negbin": negbin, "wine": wine}[config]
     for name in names:
         kw = dict(VARIANTS[name])
         cap = kw.pop("_cap", None)
