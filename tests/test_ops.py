@@ -180,3 +180,16 @@ def test_lbfgs_quadratic_exact():
 
     x, f, _ = lbfgs.minimize(fg, jnp.zeros(3), maxiter=100, maxfun=100)
     np.testing.assert_allclose(np.asarray(x), np.linalg.solve(np.asarray(A), np.asarray(b)), atol=1e-5)
+
+
+def test_blocking_fetch_installed():
+    """importing dgp_tpu must patch jax.Array._value to wait for readiness
+    before the host copy (hostio.install_blocking_fetch): a d2h requested
+    while its producer is in flight takes minutes over the device tunnel."""
+    import dgp_tpu  # noqa: F401  (import side effect installs the patch)
+    from jax._src import array as jarray
+    prop = jarray.ArrayImpl.__dict__['_value']
+    assert prop.fget.__name__ == '_dgp_tpu_blocking_value'
+    # the patched property still round-trips values correctly
+    z = jnp.arange(5.0)
+    np.testing.assert_allclose(np.asarray(z), np.arange(5.0))
