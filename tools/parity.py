@@ -563,11 +563,22 @@ def main():
 
 
 def regate():
-    """Re-apply the gates to the recorded PARITY JSON without re-running."""
+    """Re-apply the gates to the recorded PARITY JSON without re-running,
+    first merging any newly generated same-draw anchors (REF_ANCHORS.json)
+    into rows recorded before their anchor existed."""
     with open(OUT) as fh:
         results = json.load(fh)
+    anchors = {}
+    if os.path.exists(ANCHORS):
+        with open(ANCHORS) as fh:
+            anchors = json.load(fh)
     for name, r in results.items():
         if isinstance(r, dict):
+            ref = anchors.get(name)
+            if ref and "error" not in ref:
+                r["reference_on_same_draw"] = {
+                    k: v for k, v in ref.items()
+                    if k not in ("wall_s", "source")}
             apply_gate(name, r)
     with open(OUT, "w") as fh:
         json.dump(results, fh, indent=1)
