@@ -139,8 +139,15 @@ def dgp_poisson():
                 connect=np.arange(1))],
         [Poisson()])
     m = dgp(X, [Y], all_layer)
-    m.train(N=500, disable=True)
-    emu = emulator(m.estimate())
+    # N=1000 SEM iterations (the notebook stops at 500): at this config's
+    # measured training rate the extra 500 iterations cost well under a
+    # minute of CPU (vs the reference's minutes), and the posterior-mean
+    # hyper-params keep improving -- 1.8998 (N=500) -> 1.8185 (N=1000) on
+    # the identical draw (tools/quality_sweep.py train1000_emu50), which
+    # BEATS the reference's same-draw 1.8689.  N=50 predict imputations:
+    # see negbin (estimator variance).
+    m.train(N=1000, disable=True)
+    emu = emulator(m.estimate(), N=50)
     nll = float(np.asarray(emu.nllik(z, test_Yz)[0]))
     from scipy.special import gammaln
     lam = np.array([f(x) for x in z]).reshape(-1, 1)
@@ -165,7 +172,11 @@ def negbin():
         [NegBin()])
     m = dgp(X, [Y], all_layer)
     m.train(N=500, disable=True)
-    emu = emulator(m.estimate())
+    # N=50 predict imputations: the exp-mean rmse metric is dominated by
+    # ensemble-estimator variance at the default N=10 (3.09 at N=10 vs
+    # 2.26 at N=50 on the identical trained model, tools/quality_sweep.py);
+    # the reference anchor keeps its own notebook protocol (N=10)
+    emu = emulator(m.estimate(), N=50)
     mu, var = emu.predict(Xt, method='mean_var')
     rmse_mean = float(np.sqrt(np.mean((np.asarray(mu).flatten()
                                        - Yt.flatten()) ** 2)))
@@ -377,23 +388,19 @@ def _gate_poisson(r, a):
 
 
 def _gate_dgp_poisson(r, a):
-    # The +0.05 slack is the measured two-sided SEM-seed noise on this
-    # metric, NOT a quality concession: on the IDENTICAL data draw, varying
-    # only the SEM seed, the reference itself scores 1.8689 (seed 99) vs
-    # 1.9782 (seed 7) -- a 0.109-nat spread -- while dgp_tpu scores 1.9056
-    # (seed 99) vs 1.9508 (seed 7); at seed 7 dgp_tpu BEATS the reference
-    # on the same draw.  (Protocol + numbers: tools/seed_spread.py.)
+    # Strict match-or-beat (+0.01 rounding slack only): with the N=1000
+    # training protocol dgp_tpu beats the reference's same-draw anchor
+    # outright (1.8185 vs 1.8689; SEM-seed spread context in
+    # tools/seed_spread.py).
     return [("test_nllik", r["test_nllik"], "<=",
-             round(a["test_nllik"] + 0.05, 4))]
+             round(a["test_nllik"] + 0.01, 4))]
 
 
 def _gate_negbin(r, a):
     return [("test_nllik", r["test_nllik"], "<=",
              round(a["test_nllik"] + 0.05, 4)),
-            # training-seed spread bound: 5 seeds of our sampler gave
-            # 1.33-3.09 on this heavy-tailed exp-mean metric (seed 1 beats
-            # the reference's 1.86); nllik above is the tight gate
-            ("rmse_mean_vs_truth", r["rmse_mean_vs_truth"], "<=", 3.5)]
+            ("rmse_mean_vs_truth", r["rmse_mean_vs_truth"], "<=",
+             round(1.25 * a["rmse_mean_vs_truth"], 4))]
 
 
 def _gate_zip(r, a):
