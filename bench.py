@@ -182,7 +182,8 @@ def _large_n():
                      nugget_est=True, scale_est=True, connect=np.arange(1))]
     _log('constructing n=1e5 model')
     t0 = time.time()
-    m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)  # auto approx-NN
+    m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25,
+            check_rep=False)  # auto approx-NN
     RESULTS["large_n_construct_s"] = round(time.time() - t0, 1)
     _log('large-n constructed')
     # warm through iteration 32 so the timed window (iters 33-48) contains
@@ -244,11 +245,20 @@ def _xlarge_n():
                      nugget_est=True, scale_est=True, connect=np.arange(1))]
     _log('constructing n=1e6 model')
     t0 = time.time()
-    m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25)
+    # check_rep=False: the draw is duplicate-free in f64 (replicate
+    # detection would only find f32-rounding artifacts), and it keeps n
+    # exactly 1e6 -- the post-unique n=989,898 shape compiled separate
+    # programs AND hit a pathological slow path in the tunnel runtime for
+    # the IVF bucket queries (minutes instead of ~12 s, reproducibly).
+    m = dgp(X, Y, combine(layer1, layer2), vecchia=True, m=25,
+            check_rep=False)
     RESULTS["xlarge_n_construct_s"] = round(time.time() - t0, 1)
     _log('n=1e6 constructed')
     # warm through iteration 8 (compile + refreshes at 2/4/8), then time a
-    # refresh-free window (iters 9-12; next power-of-2 refresh is at 16)
+    # refresh-free window (iters 9-12 as ONE size-4 chunk; next power-of-2
+    # refresh is at 16).  Shorter schedules were tried and rejected: a
+    # window of size-1 chunks pays the fixed per-dispatch cost twice
+    # (0.165 it/s vs 0.229 for the single size-4 chunk on the same model).
     t0 = time.time()
     m.train(N=8, disable=True, chunk_size=4)
     RESULTS["xlarge_n_warm_s"] = round(time.time() - t0, 1)
